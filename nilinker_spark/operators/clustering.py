@@ -1,0 +1,99 @@
+"""S6 — transitive clustering: large-star / small-star connected components.
+
+Replaces the reference's per-document Monte-Carlo Personalized PageRank
+(/root/reference/src/REEL/ppr_for_ned_all.java:338-439) as the collective
+resolution step, per the north rule: the similarity-edge DataFrame is
+contracted to stars whose centers are the component minima, in O(log n)
+alternating rounds (Kiveris et al., "Connected Components in MapReduce
+and Beyond" — public algorithm).
+
+Scale notes:
+- each round is two shuffles (groupBy min + join back); rounds are
+  O(log n) in the worst case, 2-3 in practice for ER graphs;
+- ``localCheckpoint`` per round truncates the lineage so the plan does
+  not grow exponentially (the classic iterative-DataFrame failure mode);
+- node ids are the normalized surface forms themselves; the component
+  representative is the lexicographic min — deterministic under any
+  partitioning, which the resume test relies on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Undirected closure: both orientations, no self-loops."""
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u})."""
+    nbrs = _sym(edges)
+    mins = nbrs.groupBy("src").agg(F.min("dst").alias("mn")).select(
+        "src", F.least("mn", "src").alias("m")
+    )
+    return (
+        nbrs.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high->low; connect each node and its smaller neighbors
+    to the minimum of the neighborhood."""
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mins = e.groupBy("src").agg(F.min("dst").alias("m"))
+    to_small = e.join(mins, "src").select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    to_center = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return (
+        to_small.unionByName(to_center)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """edges(src, dst) -> labels(node, label) for every node in the graph.
+
+    label = lexicographic min of the component.  Nodes absent from the
+    edge set are the caller's to label (coalesce with self).
+    """
+    if edges.isEmpty():
+        return edges.sparkSession.createDataFrame([], "node string, label string")
+
+    cur = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # converged when the (distinct, oriented) edge sets are identical
+        changed = (
+            nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+
+    # fixpoint is a star graph src(high) -> dst(label); centers label themselves
+    members = cur.select(F.col("src").alias("node"), F.col("dst").alias("label"))
+    centers = cur.select(F.col("dst").alias("node"), F.col("dst").alias("label"))
+    return members.unionByName(centers).groupBy("node").agg(F.min("label").alias("label"))
+
+
+def assign_clusters(forms: DataFrame, labels: DataFrame) -> DataFrame:
+    """(norm) + labels -> (norm, cluster_id); singletons label themselves."""
+    lab = labels.select(F.col("node").alias("norm"), F.col("label"))
+    return forms.join(F.broadcast(lab), "norm", "left").select(
+        "norm", F.coalesce("label", "norm").alias("cluster_id")
+    )

@@ -1,0 +1,150 @@
+"""End-to-end resolution pipeline with checkpointed stages + lineage.
+
+Stage graph (SURVEY.md §7.1):
+
+    webtext --S1--> mentions --S2--> forms+pv / blocks --S3--> pairs
+            --S4--> scored --S5--> edges --S6--> clusters --S7--> resolved
+
+Every stage writes ``<ckpt_dir>/<stage>`` (parquet — the sandbox stand-in
+for an Iceberg table) and appends one row to ``<ckpt_dir>/lineage_log``
+(stage, rows, checksum, wall_ms).  A relaunch skips any stage whose
+checkpoint has a parquet _SUCCESS marker *and* a lineage row — the
+scaled-up version of the reference's read-modify-write candidate cache
+(/root/reference/src/REEL/pre_process.py:250-307) and the substrate of
+the north rule's mid-pipeline resume.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nilinker_spark.fixtures.kb import KBFixture
+from nilinker_spark.functions.normalize import norm_form
+from nilinker_spark.operators.blocking import block_keys_df, phrase_vectors_df
+from nilinker_spark.operators.clustering import assign_clusters, connected_components
+from nilinker_spark.operators.extract import extract_mentions_df
+from nilinker_spark.operators.pairs import candidate_pairs
+from nilinker_spark.operators.scoring import score_pairs, similarity_edges
+from nilinker_spark.oracle import ALPHA, MAX_BLOCK_FORMS, TAU
+
+STAGES = ["mentions", "phrase_vecs", "pairs", "scored", "edges", "clusters", "resolved"]
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        kb: KBFixture,
+        ckpt_dir: str,
+        alpha: float = ALPHA,
+        tau: float = TAU,
+        max_block: int = MAX_BLOCK_FORMS,
+    ) -> None:
+        self.spark = spark
+        self.kb = kb
+        self.ckpt_dir = ckpt_dir
+        self.alpha = alpha
+        self.tau = tau
+        self.max_block = max_block
+
+    # --- checkpoint + lineage plumbing -------------------------------------
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.ckpt_dir, stage)
+
+    def _done(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS")) and (
+            self._lineage_rows(stage) > 0
+        )
+
+    def _lineage_rows(self, stage: str) -> int:
+        lpath = os.path.join(self.ckpt_dir, "lineage_log")
+        if not os.path.exists(lpath):
+            return 0
+        lin = self.spark.read.parquet(lpath)
+        return lin.filter(F.col("stage") == stage).count()
+
+    def _checkpoint(self, stage: str, df: DataFrame) -> DataFrame:
+        """Write stage output + one lineage row; return the re-read frame
+        (re-reading truncates lineage like an Iceberg snapshot would)."""
+        t0 = time.monotonic()
+        df.write.mode("overwrite").parquet(self._path(stage))
+        out = self.spark.read.parquet(self._path(stage))
+        stats = out.agg(
+            F.count("*").alias("rows"),
+            F.coalesce(F.bit_xor(F.xxhash64(*out.columns)), F.lit(0)).alias("checksum"),
+        ).collect()[0]
+        lineage_row = [
+            (stage, int(stats["rows"]), int(stats["checksum"]), int((time.monotonic() - t0) * 1000))
+        ]
+        self.spark.createDataFrame(
+            lineage_row, "stage string, rows long, checksum long, wall_ms long"
+        ).write.mode("append").parquet(os.path.join(self.ckpt_dir, "lineage_log"))
+        return out
+
+    def _load(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(stage))
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.ckpt_dir, "lineage_log"))
+
+    # --- stages -------------------------------------------------------------
+    def run(self, webtext: DataFrame, stop_after: str | None = None) -> DataFrame | None:
+        """Run (or resume) the pipeline; returns the resolved mentions frame.
+
+        ``stop_after`` lets the resume test kill the job mid-pipeline.
+        """
+        gazetteer = {norm_form(s) for s, _, _ in self.kb.surface_forms}
+
+        def stage(name: str, build) -> DataFrame:
+            if self._done(name):
+                return self._load(name)
+            return self._checkpoint(name, build())
+
+        mentions = stage(
+            "mentions", lambda: extract_mentions_df(self.spark, webtext, gazetteer)
+        )
+        if stop_after == "mentions":
+            return None
+
+        forms = mentions.select("norm").distinct()
+        pvs = stage("phrase_vecs", lambda: phrase_vectors_df(self.spark, forms, self.kb))
+        if stop_after == "phrase_vecs":
+            return None
+
+        def build_pairs() -> DataFrame:
+            blocked = block_keys_df(pvs.select("norm"))
+            pairs, drop_metrics = candidate_pairs(blocked, self.max_block)
+            self._checkpoint("block_drop_metrics", drop_metrics)
+            return pairs
+
+        pairs = stage("pairs", build_pairs)
+        if stop_after == "pairs":
+            return None
+
+        scored = stage("scored", lambda: score_pairs(pairs, pvs, self.alpha))
+        if stop_after == "scored":
+            return None
+
+        edges = stage("edges", lambda: similarity_edges(scored, self.tau))
+        if stop_after == "edges":
+            return None
+
+        def build_clusters() -> DataFrame:
+            labels = connected_components(edges)
+            return assign_clusters(pvs.select("norm"), labels)
+
+        clusters = stage("clusters", build_clusters)
+        if stop_after == "clusters":
+            return None
+
+        resolved = stage(
+            "resolved",
+            lambda: mentions.join(F.broadcast(clusters), "norm").select(
+                "url", "mention_id", "surface", "pos", "norm", "cluster_id"
+            ),
+        )
+        return resolved
