@@ -1,0 +1,150 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+plus (north-rule scaling evidence) the flagship ER pipeline run at two
+parallelism levels — local[8] and local[$SPARK_GRAFT_CPUS] — on the SAME
+input, reporting docs/sec at both and the scaling efficiency
+(throughput_hi / throughput_lo) / (cpus_hi / cpus_lo).  This sandbox has
+no multi-node cluster; two local parallelism levels are the sanctioned
+stand-in for N vs 4N executors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+LO_CPUS = int(os.environ.get("SPARK_GRAFT_LO_CPUS", "8"))
+ER_REPLICATE = int(os.environ.get("SPARK_GRAFT_ER_REPLICATE", "64"))
+ER_RUNS = int(os.environ.get("SPARK_GRAFT_ER_RUNS", "1"))
+
+
+def _fresh_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    from nilinker_spark.config import get_spark
+
+    return get_spark(master=f"local[{cpus}]", app_name=f"bench_{cpus}", shuffle_partitions=cpus)
+
+
+def _run_er(spark) -> tuple[int, float]:
+    """Flagship ER pipeline over webtext derived from documents; returns
+    (docs_in, steady-state wall_sec).
+
+    One small untimed pass first: it forks + imports the python worker
+    pool and JITs the codegen — cluster warm-up is not throughput.
+    """
+    from nilinker_spark.fixtures.kb import make_kb
+    from nilinker_spark.pipeline import resolve
+    from nilinker_spark.sources.webtext import (
+        gazetteer_from_documents,
+        load_table,
+        webtext_from_documents,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    gazetteer = gazetteer_from_documents(docs)
+    kb = make_kb(seed=42)
+
+    warm = webtext_from_documents(docs, replicate=1)
+    resolve(spark, warm, kb, gazetteer=gazetteer).count()
+
+    webtext = webtext_from_documents(docs, replicate=ER_REPLICATE).localCheckpoint(eager=True)
+    n_docs = webtext.count()
+    best = float("inf")
+    for _ in range(ER_RUNS):  # best-of-N: the sandbox host is noisy
+        t0 = time.monotonic()
+        resolve(spark, webtext, kb, gazetteer=gazetteer).count()
+        best = min(best, time.monotonic() - t0)
+    return n_docs, best
+
+
+def _er_subprocess(cpus: int) -> dict:
+    """Run the scaling measurement in a fresh interpreter (local-mode Spark
+    shares the driver JVM; back-to-back sessions in one process inherit
+    heap garbage and skew the comparison)."""
+    import subprocess
+
+    out = subprocess.check_output(
+        [sys.executable, os.path.abspath(__file__), "--er-run", str(cpus)],
+        env={**os.environ},
+        stderr=subprocess.DEVNULL,
+    )
+    return json.loads(out.decode().strip().splitlines()[-1])
+
+
+def main() -> None:
+    if len(sys.argv) == 3 and sys.argv[1] == "--er-run":
+        cpus = int(sys.argv[2])
+        spark = _fresh_spark(cpus)
+        n_docs, sec = _run_er(spark)
+        print(json.dumps({"docs": n_docs, "sec": sec}))
+        spark.stop()
+        return
+
+    import __spark_entry__ as entrymod
+
+    # --- scaling evidence first (cold box): same ER job at two parallelism
+    # levels, each in a fresh JVM; interleaved rounds + best-per-level to
+    # ride out host-noise periods --------------------------------------------
+    runs = {LO_CPUS: [], CPUS: []}
+    for _ in range(2):
+        for c in (LO_CPUS, CPUS):
+            runs[c].append(_er_subprocess(c))
+    n_docs = runs[LO_CPUS][0]["docs"]
+    thr_lo = max(n_docs / r["sec"] for r in runs[LO_CPUS])
+    thr_hi = max(n_docs / r["sec"] for r in runs[CPUS])
+    efficiency = (thr_hi / thr_lo) / (CPUS / LO_CPUS)
+
+    # --- headline query battery at local[CPUS] -----------------------------
+    spark = _fresh_spark(CPUS)
+    qs = entrymod.queries()
+    headline = [
+        "er_resolve",
+        "mention_dedup",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "ann_topk",
+        "text_quality",
+        "fingerprint",
+        "windowed_agg",
+        "sessionization",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.monotonic()
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    spark.stop()
+
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "er_docs": n_docs,
+        "er_docs_per_sec_lo": round(thr_lo, 1),
+        "er_docs_per_sec_hi": round(thr_hi, 1),
+        "lo_cpus": LO_CPUS,
+        "hi_cpus": CPUS,
+        "scaling_efficiency": round(efficiency, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,21 +4,23 @@ All work happens over **distinct normalized surface forms**, not mention
 instances — the relational version of the reference's candidate cache
 (/root/reference/src/REEL/pre_process.py:250-307): a form seen a million
 times is scored once.  At 10^12 documents the distinct-form table is
-vocabulary-bounded (millions), so every join against it broadcasts.
+vocabulary-bounded (millions), so this stage is tiny next to extraction.
 
-Word-id resolution is the two-phase exact/fuzzy plan of the reference
+Word-id resolution implements the reference's two-phase exact/fuzzy plan
 (/root/reference/src/REEL/candidates.py:35-75 and
-/root/reference/src/utils/utils.py:321-327), done relationally:
+/root/reference/src/utils/utils.py:321-327): exact dict hit first, and
+only OOV tokens pay the fuzzy scan — with a deterministic
+(score desc, word asc) tie-break and a per-worker memo cache.
 
-1. exact: broadcast equi-join token -> vocab id  (hits short-circuit out)
-2. fuzzy: only the *distinct OOV tokens* (anti-join survivors) go through
-   the Arrow UDF that scans the broadcast vocab with a deterministic
-   (score desc, word asc) tie-break.
+Design note: the KB (vocab, WC index, weights) rides ONE broadcast into
+ONE Arrow UDF.  An earlier revision expressed resolution as broadcast
+equi-joins + a fallback UDF; that is semantically identical but costs
+~6 extra tiny-stage jobs per run — measurable dead weight at any scale
+because this stage's input is always small (see module docstring).  The
+join formulation remains in ``resolve_tokens`` for tests/debugging.
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -27,9 +29,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from nilinker_spark.fixtures.kb import KBFixture
-from nilinker_spark.functions.model import phrase_vectors
 from nilinker_spark.functions.similarity import fuzzy_best_match
 from nilinker_spark.oracle import PAD_CANDS
+
+# per-worker-process fuzzy-resolution memo (token -> word_id); safe because
+# fuzzy_best_match is a pure function of (token, vocab) and the vocab is
+# constant for a pipeline run
+_FUZZY_CACHE: dict[str, int] = {}
 
 
 def _tokens_lr(df: DataFrame) -> DataFrame:
@@ -41,7 +47,12 @@ def _tokens_lr(df: DataFrame) -> DataFrame:
 
 
 def resolve_tokens(spark: SparkSession, forms: DataFrame, kb: KBFixture) -> DataFrame:
-    """distinct (token) -> (token, word, word_id): exact then fuzzy fallback."""
+    """distinct (token) -> (token, word, word_id): exact broadcast join,
+    fuzzy Arrow-UDF fallback for the anti-join survivors.
+
+    Kept as the relational reference formulation (oracle-checkable); the
+    production path resolves inside :func:`phrase_vectors_df`'s UDF.
+    """
     vocab_rows = [(w, i) for w, i in kb.word2id.items()]
     vocab_df = spark.createDataFrame(vocab_rows, "word string, word_id int")
 
@@ -58,66 +69,89 @@ def resolve_tokens(spark: SparkSession, forms: DataFrame, kb: KBFixture) -> Data
     vocab_b = spark.sparkContext.broadcast(sorted(kb.word2id))
     w2i_b = spark.sparkContext.broadcast(dict(kb.word2id))
 
-    @F.pandas_udf("string")
-    def fuzzy_word(s: pd.Series) -> pd.Series:
+    @F.pandas_udf("word string, word_id int")
+    def fuzzy_resolve(s: pd.Series) -> pd.DataFrame:
         vocab = vocab_b.value
-        return s.map(lambda tok: fuzzy_best_match(tok, vocab))
-
-    @F.pandas_udf("int")
-    def word_to_id(s: pd.Series) -> pd.Series:
         w2i = w2i_b.value
-        return s.map(w2i).astype("int32")
+        words = s.map(lambda tok: fuzzy_best_match(tok, vocab))
+        return pd.DataFrame({"word": words, "word_id": words.map(w2i).astype("int32")})
 
-    fuzzy = oov.withColumn("word", fuzzy_word("token")).withColumn("word_id", word_to_id("word"))
-    return exact.unionByName(fuzzy.select("token", "word", "word_id"))
+    fuzzy = oov.withColumn("r", fuzzy_resolve("token")).select(
+        "token", F.col("r.word").alias("word"), F.col("r.word_id").alias("word_id")
+    )
+    return exact.unionByName(fuzzy)
 
 
 def phrase_vectors_df(spark: SparkSession, forms: DataFrame, kb: KBFixture) -> DataFrame:
-    """distinct (norm) -> (norm, pv array<float>) via one Arrow UDF batch pass.
+    """distinct (norm) -> (norm, pv array<float>) in ONE Arrow UDF pass.
 
-    The WC candidate blocks and the weight matrices ride a single broadcast;
-    the UDF does the batched attention forward pass
-    (≙ /root/reference/src/NILINKER/nilinker.py:80-153, vectorized instead
-    of the reference's batch-size-1 eager loop at :196).
+    Inside the UDF (per Arrow batch, all vectorized):
+    1. tokenize to (tl, tr) with the [t, t] rule (utils.py:362-377),
+    2. resolve word ids: exact dict hit, else deterministic fuzzy fallback
+       (memoized per worker) — ≙ get_words_ids_4_entity, utils.py:380-463,
+    3. gather WC candidate blocks (utils.py:265-331),
+    4. batched attention forward pass
+       (≙ /root/reference/src/NILINKER/nilinker.py:80-153, vectorized
+       instead of the reference's batch-size-1 eager loop at :196).
+
+    The KB dicts + weight matrices ride one sc.broadcast; the UDF touches
+    no Spark state, so the same numpy path runs in the oracle.
     """
-    token_map = resolve_tokens(spark, forms, kb)
-
-    with_ids = (
-        _tokens_lr(forms)
-        .join(F.broadcast(token_map.select(F.col("token").alias("tl"),
-                                           F.col("word").alias("wl_word"),
-                                           F.col("word_id").alias("wl_id"))), "tl")
-        .join(F.broadcast(token_map.select(F.col("token").alias("tr"),
-                                           F.col("word").alias("wr_word"),
-                                           F.col("word_id").alias("wr_id"))), "tr")
+    kb_b = spark.sparkContext.broadcast(
+        {
+            "vocab_sorted": sorted(kb.word2id),
+            "word2id": dict(kb.word2id),
+            "wc_by_id": {kb.word2id[w]: cands[:PAD_CANDS] for w, cands in kb.wc.items()},
+            "weights": kb.weights.to_npz_dict(),
+        }
     )
 
-    weights_b = spark.sparkContext.broadcast(kb.weights.to_npz_dict())
-    wc_by_id_b = spark.sparkContext.broadcast(
-        {kb.word2id[w]: cands[:PAD_CANDS] for w, cands in kb.wc.items()}
-    )
+    def run(batches):
+        from nilinker_spark.functions.model import ModelWeights, phrase_vectors
+        from nilinker_spark.functions.normalize import tokenize_entity
 
-    @F.pandas_udf(T.ArrayType(T.FloatType()))
-    def phrase_vec(wl: pd.Series, wr: pd.Series) -> pd.Series:
-        from nilinker_spark.functions.model import ModelWeights
-
-        z = weights_b.value
+        kbv = kb_b.value
+        w2i = kbv["word2id"]
+        vocab = kbv["vocab_sorted"]
+        wc = kbv["wc_by_id"]
+        z = kbv["weights"]
         w = ModelWeights(z["W_a"], z["b_a"], z["W_c"], z["b_c"], z["word_embeds"], z["cand_embeds"])
-        wc = wc_by_id_b.value
-        n = len(wl)
-        wl_ids = wl.to_numpy(dtype=np.int64)
-        wr_ids = wr.to_numpy(dtype=np.int64)
-        cl = np.full((n, PAD_CANDS), -1, dtype=np.int64)
-        cr = np.full((n, PAD_CANDS), -1, dtype=np.int64)
-        for i in range(n):
-            a = wc.get(int(wl_ids[i]), [])
-            b = wc.get(int(wr_ids[i]), [])
-            cl[i, : len(a)] = a
-            cr[i, : len(b)] = b
-        pv = phrase_vectors(wl_ids, wr_ids, cl, cr, w)
-        return pd.Series(list(pv))
 
-    return with_ids.select("norm", phrase_vec("wl_id", "wr_id").alias("pv"))
+        def wid(tok: str) -> int:
+            hit = w2i.get(tok)
+            if hit is not None:
+                return hit
+            hit = _FUZZY_CACHE.get(tok)
+            if hit is None:
+                hit = w2i[fuzzy_best_match(tok, vocab)]
+                _FUZZY_CACHE[tok] = hit
+            return hit
+
+        for pdf in batches:
+            norms = pdf["norm"]
+            n = len(norms)
+            wl_ids = np.empty(n, dtype=np.int64)
+            wr_ids = np.empty(n, dtype=np.int64)
+            cl = np.full((n, PAD_CANDS), -1, dtype=np.int64)
+            cr = np.full((n, PAD_CANDS), -1, dtype=np.int64)
+            for i, nf in enumerate(norms):
+                tl, tr = tokenize_entity(nf)
+                wl_ids[i] = wid(tl)
+                wr_ids[i] = wid(tr)
+                a = wc.get(int(wl_ids[i]), [])
+                b = wc.get(int(wr_ids[i]), [])
+                cl[i, : len(a)] = a
+                cr[i, : len(b)] = b
+            pv = phrase_vectors(wl_ids, wr_ids, cl, cr, w)
+            yield pd.DataFrame({"norm": norms, "pv": list(pv)})
+
+    schema = T.StructType(
+        [
+            T.StructField("norm", T.StringType()),
+            T.StructField("pv", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return forms.select("norm").mapInPandas(run, schema)
 
 
 def block_keys_df(forms: DataFrame) -> DataFrame:

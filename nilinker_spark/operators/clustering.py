@@ -74,16 +74,25 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     if edges.isEmpty():
         return edges.sparkSession.createDataFrame([], "node string, label string")
 
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        # one-job convergence signature: (count, order-free checksum); a
+        # collision would need two distinct edge sets with equal xor-of-
+        # hashes at equal cardinality (~2^-64)
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("sig"),
+        ).first()
+        return int(row["n"]), int(row["sig"])
+
     cur = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    cur_sig = _sig(cur)
     for _ in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        # converged when the (distinct, oriented) edge sets are identical
-        changed = (
-            nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
-        )
+        nxt_sig = _sig(nxt)
         cur = nxt
-        if changed == 0:
+        if nxt_sig == cur_sig:
             break
+        cur_sig = nxt_sig
 
     # fixpoint is a star graph src(high) -> dst(label); centers label themselves
     members = cur.select(F.col("src").alias("node"), F.col("dst").alias("label"))

@@ -1,0 +1,316 @@
+"""Training-data corpus operators over the documents/embeddings tables.
+
+The operations a 100 TB webtext training-data pipeline needs around the
+ER core: deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding near-dup), similarity search (brute-force + LSH-bucketed ANN),
+and text analysis (language-ID heuristic, quality scoring, token
+counting, fingerprinting).
+
+Design rules:
+- everything is built-in ``pyspark.sql.functions`` — zero Python UDFs in
+  these operators, so the whole path stays in whole-stage codegen;
+- every hash is ``conv(substr(md5(x),1,15),16,10)`` — a 60-bit integer
+  that DuckDB reproduces bit-for-bit (``('0x'||substr(md5(x),1,15))::bigint``),
+  which is what makes the oracle checks exact;
+- pair-generating operators go through a bounded candidate stage
+  (shingle buckets / LSH bands), never a blind crossJoin — the shape
+  that survives 1000× scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared primitives
+# ---------------------------------------------------------------------------
+
+
+def h60(col, width: int = 15) -> F.Column:
+    """Up-to-60-bit integer hash reproducible in DuckDB (see module docstring).
+
+    ``width`` = hex chars (4 bits each); use a smaller width when the hash
+    is multiplied afterwards so the product stays inside int64 (ANSI mode
+    makes overflow an error, not a wrap)."""
+    return F.conv(F.substring(F.md5(col), 1, width), 16, 10).cast("long")
+
+
+def tokens_col(text_col: str = "text", min_len: int = 1) -> F.Column:
+    t = F.split(F.col(text_col), " ")
+    if min_len > 1:
+        t = F.filter(t, lambda x: F.length(x) >= min_len)
+    return t
+
+
+def doc_tokens(docs: DataFrame, min_len: int = 3) -> DataFrame:
+    """(doc_id, token) distinct — the 'mention dedup' projection
+    (≙ add_or_ignore_annot, /root/reference/src/evanil/annotations.py:11-53
+    + the >=3-char filter of /root/reference/src/utils/word_concept.py:52-71)."""
+    return (
+        docs.select("doc_id", F.explode(tokens_col("text", min_len)).alias("token"))
+        .dropDuplicates(["doc_id", "token"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication family
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: (text_hash, n_docs, canonical_doc_id)."""
+    return (
+        docs.select(h60(F.col("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_doc_id"))
+    )
+
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle_hash) distinct — word k-shingles, hashed."""
+    toks = tokens_col("text")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .filter(F.size(F.split("shingle", " ")) == k)
+        .select("doc_id", h60(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.05) -> DataFrame:
+    """Candidate pairs via shared shingles + exact Jaccard over shingle sets.
+
+    inter/union computed relationally (groupBy count), never materializing
+    per-doc sets on the driver.  Output: (doc_a, doc_b, jaccard) rounded.
+    """
+    sh = shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 6) -> DataFrame:
+    """(doc_id, hash_id, minhash) — k independent permutations via salted md5."""
+    sh = shingles(docs)
+    hs = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("hash_id")
+    salted = sh.select("doc_id", "sh", hs)
+    return (
+        salted.withColumn("hv", h60(F.concat_ws("#", F.col("hash_id"), F.col("sh"))))
+        .groupBy("doc_id", "hash_id")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 6, band_size: int = 2) -> DataFrame:
+    """MinHash + LSH banding: docs colliding on any band are candidates.
+
+    band key = (band_id, concat of the band's minhashes); the band join is
+    an equi-join on that key — the classic shingle→minhash→band→bucket-join
+    plan that replaces an O(n²) similarity scan at scale.
+    Output: distinct candidate (doc_a, doc_b).
+    """
+    sig = minhash_signatures(docs, n_hashes)
+    banded = (
+        sig.withColumn("band", F.floor(F.col("hash_id") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("hash_id", "minhash"))).alias("sig"))
+        .withColumn("band_key", F.concat_ws("|", F.transform(F.col("sig"), lambda s: s["minhash"])))
+        .select("doc_id", "band", "band_key")
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash) — bitwise-majority fingerprint over token hashes.
+
+    Relational formulation: explode (token × bit), sum ±1 votes per bit,
+    reassemble the integer — no UDF, fully codegen'd.
+    """
+    toks = doc_tokens(docs, min_len=1).withColumn("th", h60(F.col("token")))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = (
+        toks.select("doc_id", "th", bit)
+        .withColumn("vote", F.when(F.expr("(th >> bit) & 1") == 1, 1).otherwise(-1))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.withColumn("bitval", F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), cast(bit as int))")).otherwise(F.lit(0).cast("long")))
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Brute-force cosine near-dup pairs over (vec_id, embedding).
+
+    Baseline path (quadratic): kept for correctness; the scale path is
+    :func:`ann_topk_lsh` / LSH bucketing.  Cosine is computed JVM-side
+    with zip_with/aggregate in float64.
+    """
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", F.round(_cosine("ea", "eb"), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def _dot(col_a: str, col_b: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(F.col(col_a), F.col(col_b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(col: str) -> F.Column:
+    return F.sqrt(F.aggregate(F.col(col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def _cosine(col_a: str, col_b: str) -> F.Column:
+    return _dot(col_a, col_b) / (_norm(col_a) * _norm(col_b))
+
+
+def ann_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (the ANN baseline).
+
+    queries(query_id, q_embedding) × emb(vec_id, embedding), broadcast the
+    queries (small side), window top-k with deterministic tie-break.
+    """
+    joined = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = joined.withColumn("cos", F.round(_cosine("embedding", "q_embedding"), 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def ann_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 8) -> DataFrame:
+    """LSH-bucketed ANN (the scale path): random-hyperplane signatures.
+
+    Hyperplanes are deterministic functions of (plane, dim) via the shared
+    md5 hash, so the bucketing is reproducible anywhere.  Candidates =
+    same-signature vectors; exact cosine re-rank within bucket.  At
+    1000 executors this is an equi-join on the signature, not a crossJoin.
+    """
+    def signature(vec_col: str) -> F.Column:
+        planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
+        def plane_bit(p):
+            # pseudo-random hyperplane: weight(dim) = h60(p#dim)/2^59 - 1 in [-1,1)
+            prods = F.zip_with(
+                F.col(vec_col),
+                F.transform(F.sequence(F.lit(0), F.size(vec_col) - 1), lambda d: p * F.lit(1000) + d),
+                lambda x, key: x.cast("double")
+                * (F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("double") / F.lit(float(2**59)) - 1.0),
+            )
+            s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+            return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
+        return F.concat_ws("", F.transform(planes, plane_bit))
+
+    emb_sig = emb.withColumn("sig", signature("embedding"))
+    q_sig = queries.withColumn("sig", signature("q_embedding"))
+    cands = emb_sig.join(F.broadcast(q_sig), "sig").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cands.withColumn("cos", F.round(_cosine("embedding", "q_embedding"), 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "was", "for", "on", "that", "with", "as"]
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_token_len, stopword_ratio, alpha_ratio, quality).
+
+    Length/punct/stopword heuristics — the standard webtext quality gates,
+    all closed-form column expressions.
+    """
+    toks = tokens_col("text")
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round((F.length("text") - n + 1) / n, 4).alias("avg_token_len"),
+        F.round(n_stop / n, 4).alias("stopword_ratio"),
+        F.round(alpha_chars / F.length("text"), 4).alias("alpha_ratio"),
+        F.round(
+            F.least(n / F.lit(100.0), F.lit(1.0)) * 0.5
+            + (1 - n_stop / n) * 0.2
+            + (alpha_chars / F.length("text")) * 0.3,
+            4,
+        ).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, re_tokens, distinct_tokens) — whitespace +
+    BPE-ish regex token counts."""
+    toks = tokens_col("text")
+    re_toks = F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("ws_tokens"),
+        F.size(re_toks).alias("re_tokens"),
+        F.size(F.array_distinct(toks)).alias("distinct_tokens"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang, en_ratio) — stopword-hit-ratio language heuristic."""
+    toks = tokens_col("text")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    ratio = F.round(F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / F.size(toks), 4)
+    return docs.select(
+        "doc_id",
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+        ratio.alias("en_ratio"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) — order-sensitive rolling document fingerprint:
+    bit_xor over position-weighted token hashes (cheap near-dup probe)."""
+    toks = docs.select("doc_id", F.posexplode(tokens_col("text")).alias("pos", "token"))
+    return (
+        toks.withColumn("ph", h60(F.col("token"), width=12) * (F.col("pos") + 1))
+        .groupBy("doc_id")
+        .agg(F.bit_xor("ph").alias("fingerprint"))
+    )

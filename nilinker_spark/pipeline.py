@@ -34,6 +34,49 @@ from nilinker_spark.oracle import ALPHA, MAX_BLOCK_FORMS, TAU
 STAGES = ["mentions", "phrase_vecs", "pairs", "scored", "edges", "clusters", "resolved"]
 
 
+def resolve(
+    spark: SparkSession,
+    webtext: DataFrame,
+    kb: KBFixture,
+    gazetteer: set[str] | None = None,
+    alpha: float = ALPHA,
+    tau: float = TAU,
+    max_block: int = MAX_BLOCK_FORMS,
+) -> DataFrame:
+    """Checkpoint-free functional composition of S1-S7 (entry/bench path).
+
+    Same operators as :class:`Pipeline`, no materialization between
+    stages — Catalyst sees the whole plan and AQE sizes the shuffles.
+    """
+    if gazetteer is None:
+        gazetteer = {norm_form(s) for s, _, _ in kb.surface_forms}
+    # corpus-level stages run at full parallelism; mentions materializes
+    # lazily (one extraction pass serves both the distinct and the final join)
+    mentions = extract_mentions_df(spark, webtext, gazetteer).localCheckpoint(eager=False)
+    forms = mentions.select("norm").distinct().localCheckpoint(eager=True)
+
+    # the distinct-form table is vocabulary-bounded (tiny vs the corpus, even
+    # at 10^12 docs it is millions of rows): size the form-level shuffles by
+    # the DATA, not the cluster, or per-task overhead dwarfs the work
+    n_forms = forms.count()
+    form_parts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")), n_forms // 50_000 + 1))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(form_parts))
+    try:
+        pvs = phrase_vectors_df(spark, forms, kb).localCheckpoint(eager=True)
+        blocked = block_keys_df(pvs.select("norm"))
+        pairs, _metrics = candidate_pairs(blocked, max_block)
+        scored = score_pairs(pairs, pvs, alpha)
+        edges = similarity_edges(scored, tau)
+        labels = connected_components(edges)
+        clusters = assign_clusters(pvs.select("norm"), labels).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return mentions.join(F.broadcast(clusters), "norm").select(
+        "url", "mention_id", "surface", "pos", "norm", "cluster_id"
+    )
+
+
 class Pipeline:
     def __init__(
         self,
