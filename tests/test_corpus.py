@@ -1,0 +1,121 @@
+"""Corpus-operator tests against tiny hand-checkable inputs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nilinker_spark.operators import corpus as C
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat", "en", "s", 22),
+        (1, "the cat sat on the mat", "en", "s", 22),  # exact dup of 0
+        (2, "the cat sat on the red mat", "en", "s", 26),  # near dup
+        (3, "completely different text here now", "en", "s", 34),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_dedup_exact_groups(docs):
+    out = {r["canonical_doc_id"]: r["n_docs"] for r in C.dedup_exact(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 share a hash, canonical = min id
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_ngram_jaccard_exact_dup_is_1(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in C.ngram_jaccard_pairs(docs, threshold=0.01).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs  # no shared trigrams
+
+
+def test_minhash_lsh_catches_exact_dup(docs):
+    cands = {(r["doc_a"], r["doc_b"]) for r in C.minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in cands  # identical docs always collide on every band
+    assert (0, 3) not in cands
+
+
+def test_simhash_identical_docs_equal(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in C.simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    # near-dup has small hamming distance; unrelated doc larger
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_embedding_neardup_and_ann(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0]),  # near dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    near = {(r["id_a"], r["id_b"]) for r in C.embedding_neardup_pairs(emb, threshold=0.95).collect()}
+    assert near == {(0, 1)}
+
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    top = C.ann_topk_bruteforce(emb, queries, k=2).collect()
+    assert [r["vec_id"] for r in sorted(top, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, kb):
+    """LSH ANN is approximate; on clustered vectors it must recover most
+    of the exact top-1 neighbors (sanity, not exactness)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(5, 16)).astype("float32")
+    rows = []
+    for i in range(100):
+        c = centers[i % 5]
+        v = c + rng.normal(scale=0.05, size=16).astype("float32")
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = {r["query_id"]: r["vec_id"] for r in C.ann_topk_bruteforce(emb, queries, k=1).collect()}
+    approx = {}
+    for r in C.ann_topk_lsh(emb, queries, k=1, n_planes=6).collect():
+        approx[r["query_id"]] = r["vec_id"]
+    hits = sum(1 for q, v in exact.items() if approx.get(q) == v)
+    assert hits >= 7, f"LSH top-1 recall {hits}/10 too low"
+
+
+def test_text_quality_and_counts(docs):
+    q = {r["doc_id"]: r for r in C.text_quality(docs).collect()}
+    assert q[0]["n_tokens"] == 6
+    assert q[0]["stopword_ratio"] == round(3 / 6, 4)  # the, on, the
+    tc = {r["doc_id"]: r for r in C.token_counts(docs).collect()}
+    assert tc[0]["ws_tokens"] == 6
+    assert tc[0]["distinct_tokens"] == 5  # 'the' twice
+
+
+def test_fingerprint_order_sensitive(spark):
+    a = spark.createDataFrame([(0, "x y", "en", "s", 3)], "doc_id long, text string, lang string, source string, n_chars long")
+    b = spark.createDataFrame([(0, "y x", "en", "s", 3)], "doc_id long, text string, lang string, source string, n_chars long")
+    fa = C.fingerprint(a).collect()[0]["fingerprint"]
+    fb = C.fingerprint(b).collect()[0]["fingerprint"]
+    assert fa != fb  # rolling fingerprint is position-weighted
+
+
+def test_information_content_formula(spark, docs_sf=None):
+    """IC math matches the reference formula -log((f+1)/(max+1))+2
+    (/root/reference/src/REEL/information_content.py:31-39)."""
+    counts = {"a": 9, "b": 4}
+    mx = 9
+    for tok, f in counts.items():
+        ic = -math.log((f + 1) / (mx + 1)) + 2
+        if tok == "a":
+            assert ic == pytest.approx(2.0)
+        else:
+            assert ic == pytest.approx(-math.log(5 / 10) + 2)

@@ -1,0 +1,91 @@
+"""Plan-shape invariants: pushdown, pruning, broadcast, codegen.
+
+These encode the 100 TB efficiency contract: the html binary column is
+never scanned unless selected, language filters reach the parquet
+scan, small dimensions broadcast, and the scoring blend stays inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nilinker_spark.plans import (
+    has_broadcast_join,
+    has_python_stage,
+    has_whole_stage_codegen,
+    pushed_filters,
+    read_schema_columns,
+)
+
+
+@pytest.fixture(scope="module")
+def webtext_parquet(spark, webtext_df, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plan_webtext"))
+    webtext_df.write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_lang_filter_pushed_to_scan(spark, webtext_parquet):
+    df = spark.read.parquet(webtext_parquet).filter(F.col("lang") == "en").select("url")
+    pf = pushed_filters(df)
+    assert any("lang" in f for f in pf), f"lang filter not pushed: {pf}"
+
+
+def test_html_column_pruned(spark, webtext_parquet):
+    """Selecting (url, lang) must not read the html binary column."""
+    df = spark.read.parquet(webtext_parquet).select("url", "lang")
+    scans = read_schema_columns(df)
+    assert scans and all("html" not in cols for cols in scans), scans
+
+
+def test_extraction_scan_reads_only_url_html(spark, kb, webtext_parquet):
+    from nilinker_spark.functions.normalize import norm_form
+    from nilinker_spark.operators.extract import extract_mentions_df
+
+    gazetteer = {norm_form(s) for s, _, _ in kb.surface_forms}
+    df = extract_mentions_df(spark, spark.read.parquet(webtext_parquet), gazetteer)
+    scans = read_schema_columns(df)
+    assert scans and sorted(scans[0]) == ["html", "lang", "url"], scans
+
+
+def test_scoring_joins_broadcast(spark):
+    """The phrase-vector side of pair scoring must broadcast (never a
+    sort-merge shuffle of the pair table against a tiny dim)."""
+    from nilinker_spark.operators.scoring import score_pairs
+
+    pairs = spark.createDataFrame([("a", "b")], "norm_a string, norm_b string")
+    pvs = spark.createDataFrame([("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "norm string, pv array<float>")
+    scored = score_pairs(pairs, pvs)
+    assert has_broadcast_join(scored)
+    # the blend must stay JVM-side: zero Python stages in pair scoring
+    # (zip_with/aggregate are interpreted, not codegen'd — still no
+    # serde crossing, which is the property that matters)
+    assert not has_python_stage(scored)
+
+
+def test_final_cluster_join_broadcast(spark, kb, webtext_df):
+    from nilinker_spark.pipeline import resolve
+
+    resolved = resolve(spark, webtext_df, kb)
+    assert has_broadcast_join(resolved)
+
+
+def test_corpus_ops_no_python(spark):
+    """Dedup/text-analysis operators are pure built-ins: no Python-worker
+    stage anywhere, and the hash-aggregation core is codegen'd."""
+    from nilinker_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", "en", "s", 5)], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    for op in (C.dedup_exact, C.simhash, C.text_quality, C.fingerprint, C.minhash_signatures):
+        assert not has_python_stage(op(docs)), op.__name__
+    # codegen subtrees are hidden behind the AdaptiveSparkPlan wrapper until
+    # execution; verify codegen with AQE off (plan property, not runtime)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert has_whole_stage_codegen(C.dedup_exact(docs))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,67 @@
+"""Streaming extraction: stream result == batch result; windowed agg
+respects event time; restart from the streaming checkpoint is a no-op."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nilinker_spark.functions.normalize import norm_form
+from nilinker_spark.operators.extract import extract_mentions_df
+from nilinker_spark.streaming.extract_stream import (
+    read_webtext_stream,
+    run_stream_to_parquet,
+    stream_mentions,
+    windowed_mention_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def gazetteer(kb):
+    return {norm_form(s) for s, _, _ in kb.surface_forms}
+
+
+@pytest.fixture(scope="module")
+def webtext_path(spark, webtext_df, tmp_path_factory):
+    # several files so maxFilesPerTrigger produces multiple micro-batches
+    p = str(tmp_path_factory.mktemp("stream_in"))
+    webtext_df.repartition(6).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_stream_equals_batch(spark, kb, gazetteer, webtext_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+    run_stream_to_parquet(spark, webtext_path, out, ckpt, gazetteer)
+
+    streamed = spark.read.parquet(out).select("url", "mention_id", "surface", "pos", "norm")
+    batch = extract_mentions_df(spark, spark.read.parquet(webtext_path), gazetteer)
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).isEmpty()
+    assert batch.exceptAll(streamed).isEmpty()
+
+    # restart with the same checkpoint: no new input -> no new rows
+    n = streamed.count()
+    run_stream_to_parquet(spark, webtext_path, out, ckpt, gazetteer)
+    assert spark.read.parquet(out).count() == n
+
+
+def test_windowed_counts_event_time(spark, gazetteer, webtext_path, tmp_path_factory):
+    stream = read_webtext_stream(spark, webtext_path)
+    mentions = stream_mentions(spark, stream, gazetteer)
+    counts = windowed_mention_counts(mentions, window="1 hour", watermark="2 hours")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from win_counts").toPandas()
+    assert len(got) > 0
+    # event-time windows must align to the hour and counts must sum to the
+    # batch mention count
+    assert (got["window_start"].dt.minute == 0).all()
+    batch_total = extract_mentions_df(spark, spark.read.parquet(webtext_path), gazetteer).count()
+    assert int(got["n"].sum()) == batch_total
