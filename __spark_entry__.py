@@ -299,6 +299,132 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sessionization"] = sessionization
 
+    # --- evaluation metrics (≙ evaluation_evanil.py:95-135, REEL stats) -----
+    def eval_lang_micro(spark, sf):
+        from nilinker_spark.operators.evaluate import micro_prf
+
+        docs = _docs(spark, sf)
+        j = C.lang_id(docs).join(docs.select("doc_id", "lang"), "doc_id").select(
+            F.col("pred_lang").alias("pred"), F.col("lang").alias("gold")
+        )
+        return micro_prf(j)
+
+    q["eval_lang_micro"] = eval_lang_micro
+
+    def eval_lang_per_class(spark, sf):
+        from nilinker_spark.operators.evaluate import per_class_prf
+
+        docs = _docs(spark, sf)
+        j = C.lang_id(docs).join(docs.select("doc_id", "lang"), "doc_id").select(
+            F.col("pred_lang").alias("pred"), F.col("lang").alias("gold")
+        )
+        return per_class_prf(j)
+
+    q["eval_lang_per_class"] = eval_lang_per_class
+
+    def class_weights(spark, sf):
+        # ≙ inverse-frequency class weights (train.py:123-129)
+        docs = _docs(spark, sf)
+        counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+        total = docs.count()
+        n_classes = counts.count()
+        return counts.select(
+            "lang", F.round(F.lit(total) / (F.lit(n_classes) * F.col("n")), 6).alias("weight")
+        )
+
+    q["class_weights"] = class_weights
+
+    def sample_head(spark, sf):
+        # ≙ 10% deterministic sample head (utils.py:496-521) — order-stable
+        docs = _docs(spark, sf)
+        n = docs.count() // 10
+        return docs.orderBy("doc_id").limit(n).select("doc_id")
+
+    q["sample_head"] = sample_head
+
+    def scalar_id_coercion(spark, sf):
+        # ≙ candidate-id numeric coercion (REEL/candidates.py:202-226)
+        return (
+            _docs(spark, sf)
+            .select("source")
+            .distinct()
+            .select(
+                "source",
+                F.regexp_extract("source", "([0-9]+)$", 1).cast("int").alias("source_num"),
+            )
+        )
+
+    q["scalar_id_coercion"] = scalar_id_coercion
+
+    # --- graph ops over driver tables (≙ SURVEY §2.9) ------------------------
+    def degree_lookup(spark, sf):
+        from nilinker_spark.operators.graph import degrees
+
+        edges = load_table(spark, sf, "orders").select(
+            F.col("o_custkey").alias("src"), F.col("o_orderkey").alias("dst")
+        )
+        return degrees(edges)
+
+    q["degree_lookup"] = degree_lookup
+
+    def single_parent_predicate(spark, sf):
+        from nilinker_spark.operators.graph import single_parent
+
+        edges = load_table(spark, sf, "orders").select(
+            F.col("o_custkey").alias("src"), F.col("o_orderkey").alias("dst")
+        )
+        return single_parent(edges)
+
+    q["single_parent_predicate"] = single_parent_predicate
+
+    def relation_coassociation(spark, sf):
+        # ≙ CID co-association relations (REEL/relations.py:151-254): two
+        # parts are related iff they appear in the same order
+        li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+        b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+        return (
+            a.join(b, "l_orderkey")
+            .filter(F.col("part_a") < F.col("part_b"))
+            .groupBy("part_a", "part_b")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= 2)
+        )
+
+    q["relation_coassociation"] = relation_coassociation
+
+    # --- generic OLAP shape (agg / join / top-k over the star schema) --------
+    def tpch_q1(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["tpch_q1"] = tpch_q1
+
+    def top_revenue_nations(spark, sf):
+        cust = load_table(spark, sf, "customer")
+        orders = load_table(spark, sf, "orders")
+        nation = load_table(spark, sf, "nation")
+        joined = (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        )
+        w = Window.orderBy(F.desc("revenue"), F.asc("n_name"))
+        return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+    q["top_revenue_nations"] = top_revenue_nations
+
     # --- ER pipeline stages over driver data (non-SQL-expressible: rows-only) ---
     def er_resolve(spark, sf):
         docs = _docs(spark, sf)
@@ -497,5 +623,76 @@ def oracle_sql() -> dict[str, str]:
         "with g as (select user_id, ts, lag(ts) over (partition by user_id order by ts, event_id) as prev_ts from events) "
         "select user_id, cast(sum(case when prev_ts is null or epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 "
         "then 1 else 0 end) as bigint) as n_sessions from g group by 1"
+    )
+    lang_j = (
+        "with m as (select doc_id, string_split(text,' ') as toks from documents), "
+        "r as (select doc_id, round(len(list_filter(toks, t -> list_contains(['the','a','an','of','and','to','in','is','was','for','on','that','with','as'], t))) / len(toks), 4) as en_ratio from m), "
+        "p as (select doc_id, case when en_ratio >= 0.05 then 'en' else 'other' end as pred from r) "
+        "select p.pred, d.lang as gold from p join documents d using (doc_id)"
+    )
+    o["eval_lang_micro"] = (
+        f"with j as ({lang_j}), "
+        "a as (select cast(sum(case when pred = gold then 1 else 0 end) as bigint) as tp, "
+        "cast(sum(case when pred != gold then 1 else 0 end) as bigint) as fp, "
+        "cast(sum(case when pred != gold then 1 else 0 end) as bigint) as fn from j) "
+        "select tp, fp, fn, round(tp / (tp + fp), 6) as precision, round(tp / (tp + fn), 6) as recall, "
+        "round(2.0 * tp / (2 * tp + fp + fn), 6) as f1 from a"
+    )
+    o["eval_lang_per_class"] = (
+        f"with j as ({lang_j}), "
+        "tp as (select gold as label, cast(count(*) as bigint) as tp from j where pred = gold group by 1), "
+        "fp as (select pred as label, cast(count(*) as bigint) as fp from j where pred != gold group by 1), "
+        "fn as (select gold as label, cast(count(*) as bigint) as fn from j where pred != gold group by 1), "
+        "base as (select coalesce(tp.label, fp.label, fn.label) as label, "
+        "coalesce(tp, 0) as tp, coalesce(fp, 0) as fp, coalesce(fn, 0) as fn "
+        "from tp full join fp using (label) full join fn using (label)), "
+        "m as (select label, tp, fp, fn, "
+        "case when tp + fp > 0 then tp / (tp + fp) else 0.0 end as p, "
+        "case when tp + fn > 0 then tp / (tp + fn) else 0.0 end as r from base) "
+        "select label, tp, fp, fn, round(p, 6) as precision, round(r, 6) as recall, "
+        "round(case when p + r > 0 then 2 * p * r / (p + r) else 0.0 end, 6) as f1 from m"
+    )
+    o["class_weights"] = (
+        "with c as (select lang, count(*) as n from documents group by 1) "
+        "select lang, round((select count(*) from documents) / ((select count(*) from c) * n), 6) as weight from c"
+    )
+    o["sample_head"] = (
+        "select doc_id from documents order by doc_id "
+        "limit (select cast(count(*) // 10 as bigint) from documents)"
+    )
+    o["scalar_id_coercion"] = (
+        "select distinct source, cast(regexp_extract(source, '([0-9]+)$', 1) as int) as source_num from documents"
+    )
+    o["degree_lookup"] = (
+        "with e as (select o_custkey as src, o_orderkey as dst from orders), "
+        "od as (select src as node, count(*) as out_degree from e group by 1), "
+        "id as (select dst as node, count(*) as in_degree from e group by 1) "
+        "select coalesce(od.node, id.node) as node, cast(coalesce(out_degree, 0) as bigint) as out_degree, "
+        "cast(coalesce(in_degree, 0) as bigint) as in_degree from od full join id using (node)"
+    )
+    o["single_parent_predicate"] = (
+        "with e as (select o_custkey as src, o_orderkey as dst from orders), "
+        "c as (select src from e group by src having count(*) = 1) "
+        "select e.src as child, e.dst as parent from e join c using (src)"
+    )
+    o["relation_coassociation"] = (
+        "with li as (select distinct l_orderkey, l_partkey from lineitem) "
+        "select a.l_partkey as part_a, b.l_partkey as part_b, count(*) as n_shared "
+        "from li a join li b using (l_orderkey) where a.l_partkey < b.l_partkey "
+        "group by 1, 2 having count(*) >= 2"
+    )
+    o["tpch_q1"] = (
+        "select l_returnflag, l_linestatus, sum(l_quantity) as sum_qty, "
+        "round(sum(l_extendedprice), 2) as sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price, "
+        "round(avg(l_quantity), 4) as avg_qty, count(*) as count_order "
+        "from lineitem where l_shipdate <= '1998-09-02' group by 1, 2"
+    )
+    o["top_revenue_nations"] = (
+        "with r as (select n_name, round(sum(o_totalprice), 2) as revenue "
+        "from orders join customer on o_custkey = c_custkey "
+        "join nation on c_nationkey = n_nationkey group by 1), "
+        "k as (select n_name, revenue, row_number() over (order by revenue desc, n_name asc) as rank from r) "
+        "select n_name, revenue, rank from k where rank <= 5"
     )
     return o
