@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 LO_CPUS = int(os.environ.get("SPARK_GRAFT_LO_CPUS", "8"))
-ER_REPLICATE = int(os.environ.get("SPARK_GRAFT_ER_REPLICATE", "64"))
+ER_REPLICATE = int(os.environ.get("SPARK_GRAFT_ER_REPLICATE", "128"))
 ER_RUNS = int(os.environ.get("SPARK_GRAFT_ER_RUNS", "1"))
 
 
@@ -76,11 +76,22 @@ def _er_subprocess(cpus: int) -> dict:
     heap garbage and skew the comparison)."""
     import subprocess
 
+    env = {**os.environ}
+    # the timed job checkpoints the mentions table in the block manager;
+    # size the heap so neither level is GC-bound (the box has 128 GiB),
+    # and put shuffle/spill on tmpfs so disk flush latency from the
+    # previous run cannot leak into this measurement
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark_bench")
+    os.makedirs(env["SPARK_GRAFT_LOCAL_DIR"], exist_ok=True)
+    os.system("sync")
     out = subprocess.check_output(
         [sys.executable, os.path.abspath(__file__), "--er-run", str(cpus)],
-        env={**os.environ},
+        env=env,
         stderr=subprocess.DEVNULL,
     )
+    os.system("sync")
+    time.sleep(2)
     return json.loads(out.decode().strip().splitlines()[-1])
 
 
@@ -99,8 +110,10 @@ def main() -> None:
     # levels, each in a fresh JVM; interleaved rounds + best-per-level to
     # ride out host-noise periods --------------------------------------------
     runs = {LO_CPUS: [], CPUS: []}
-    for _ in range(2):
-        for c in (LO_CPUS, CPUS):
+    # alternate the order between rounds: the sandbox host shows slow
+    # multi-minute noise periods, so each level gets one "early" slot
+    for order in ((LO_CPUS, CPUS), (CPUS, LO_CPUS)):
+        for c in order:
             runs[c].append(_er_subprocess(c))
     n_docs = runs[LO_CPUS][0]["docs"]
     thr_lo = max(n_docs / r["sec"] for r in runs[LO_CPUS])

@@ -53,6 +53,7 @@ def get_spark(
         # column pruning handles that, this just keeps scan tasks right-sized.
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -44,17 +44,24 @@ def extract_mentions(url: str, text: str, gazetteer: set[str]) -> list[tuple[str
     """Greedy longest-match gazetteer scan -> [(mention_id, surface, pos)].
 
     Pure function of (url, text, gazetteer); shared verbatim with the
-    pipeline's mapInPandas stage.
+    pipeline's mapInPandas stage and the streaming path.
+
+    Tokens are normalized ONCE per document and candidate n-grams are
+    joins of normalized tokens — not norm_form() over every probe span,
+    which would cost up to MAX_MENTION_TOKENS regex passes per position
+    (measured ~4x the whole scan).  Gazetteer entries are normalized
+    forms, so matching is exact.
     """
     toks = text.split(" ")
+    norm_toks = [norm_form(t) for t in toks]
     out: list[tuple[str, str, int]] = []
     i = 0
     n = len(toks)
     while i < n:
         matched = False
         for length in range(min(MAX_MENTION_TOKENS, n - i), 0, -1):
-            cand = " ".join(toks[i : i + length])
-            if norm_form(cand) in gazetteer:
+            if " ".join(norm_toks[i : i + length]) in gazetteer:
+                cand = " ".join(toks[i : i + length])
                 out.append((mention_id(url, i, cand), cand, i))
                 i += length
                 matched = True

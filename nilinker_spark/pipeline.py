@@ -51,8 +51,10 @@ def resolve(
     if gazetteer is None:
         gazetteer = {norm_form(s) for s, _, _ in kb.surface_forms}
     # corpus-level stages run at full parallelism; mentions materializes
-    # lazily (one extraction pass serves both the distinct and the final join)
-    mentions = extract_mentions_df(spark, webtext, gazetteer).localCheckpoint(eager=False)
+    # once (columnar compressed cache — NOT localCheckpoint, whose
+    # deserialized java rows cost ~2x the extraction itself at 10^7 rows)
+    # and serves both the distinct and the final join
+    mentions = extract_mentions_df(spark, webtext, gazetteer).persist()
     forms = mentions.select("norm").distinct().localCheckpoint(eager=True)
 
     # the distinct-form table is vocabulary-bounded (tiny vs the corpus, even

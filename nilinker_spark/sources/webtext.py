@@ -37,7 +37,10 @@ def webtext_from_documents(docs: DataFrame, replicate: int = 1, partitions: int 
     else:
         base = docs.withColumn("rep", F.lit(0))
     if partitions is None:
-        partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
+        # exactly one task per core for the python extraction stage: the
+        # per-task worker handshake is partially serialized, so fewer,
+        # bigger Arrow tasks amortize better (uniform rows -> no stragglers)
+        partitions = docs.sparkSession.sparkContext.defaultParallelism
     if partitions > 1:
         base = base.repartition(partitions)
     return base.select(
@@ -49,17 +52,23 @@ def webtext_from_documents(docs: DataFrame, replicate: int = 1, partitions: int 
     )
 
 
-def gazetteer_from_documents(docs: DataFrame, top_n: int = 100, min_len: int = 4) -> set[str]:
-    """Deterministic gazetteer: top-N >=min_len-char tokens by frequency
-    (ties broken by token asc) — the KB-alias stand-in for driver data."""
-    from nilinker_spark.operators.corpus import doc_tokens
+def gazetteer_from_documents(docs: DataFrame, top_n: int = 100) -> set[str]:
+    """Deterministic gazetteer: top-N word BIGRAMS by frequency (ties by
+    surface asc) — the KB-alias stand-in for driver data.
 
+    Multi-token surfaces, like real KB aliases: extraction density stays
+    realistic (a match at a small fraction of token positions) and the
+    greedy longest-match scan does its full 4..1-gram probe work."""
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
+    bg = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
     rows = (
-        doc_tokens(docs, min_len=min_len)
-        .groupBy("token")
+        docs.select(F.explode(bg).alias("surface"))
+        .filter(F.size(F.split("surface", " ")) == 2)
+        .groupBy("surface")
         .count()
-        .orderBy(F.desc("count"), F.asc("token"))
+        .orderBy(F.desc("count"), F.asc("surface"))
         .limit(top_n)
         .collect()
     )
-    return {r["token"] for r in rows}
+    return {r["surface"] for r in rows}
