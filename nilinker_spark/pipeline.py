@@ -155,6 +155,14 @@ class Pipeline:
         if stop_after == "mentions":
             return None
 
+        # per-form mention frequencies — the pipeline's metrics table
+        # (≙ the IC term counts, information_content.py:17-27), aggregated
+        # with deterministic salting so the Zipf-head form never funnels
+        # into a single reducer
+        from nilinker_spark.operators.skew import salted_count
+
+        stage("mention_metrics", lambda: salted_count(mentions, "norm"))
+
         forms = mentions.select("norm").distinct()
         pvs = stage("phrase_vecs", lambda: phrase_vectors_df(self.spark, forms, self.kb))
         if stop_after == "phrase_vecs":
