@@ -425,6 +425,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_revenue_nations"] = top_revenue_nations
 
+    def best_candidate_gap(spark, sf):
+        # ≙ findBestCandidate tie-break (ppr_for_ned_all.java:460-546): take
+        # the top-scored candidate, but when the gap to the runner-up is
+        # small, fall back to a secondary criterion (here: min vec_id)
+        emb = load_table(spark, sf, "embeddings")
+        qdf = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+        )
+        top = C.ann_topk_bruteforce(emb, qdf, k=2)
+        w = Window.partitionBy("query_id").orderBy("rank")
+        gapped = (
+            top.withColumn("next_cos", F.lead("cos").over(w))
+            .filter(F.col("rank") == 1)
+            .withColumn("gap", F.round(F.col("cos") - F.coalesce("next_cos", F.lit(0.0)), 4))
+        )
+        runner = top.filter(F.col("rank") == 2).select(
+            F.col("query_id"), F.col("vec_id").alias("runner_id")
+        )
+        return (
+            gapped.join(runner, "query_id", "left")
+            .select(
+                "query_id",
+                F.when(
+                    (F.col("gap") >= 0.1) | F.col("runner_id").isNull(), F.col("vec_id")
+                )
+                .otherwise(F.least("vec_id", "runner_id"))
+                .alias("best_id"),
+                "gap",
+            )
+        )
+
+    q["best_candidate_gap"] = best_candidate_gap
+
+    def endpoint_max_contribution(spark, sf):
+        # ≙ secondConstraint (ppr_for_ned_all.java:258-311): per endpoint
+        # keep only the max contribution from each source, then sum
+        li = load_table(spark, sf, "lineitem")
+        cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+        per_src = li.groupBy("l_partkey", "l_suppkey").agg(F.max(cents).alias("max_contrib_cents"))
+        return per_src.groupBy("l_partkey").agg(
+            F.sum("max_contrib_cents").alias("total_cents"), F.count("*").alias("n_sources")
+        )
+
+    q["endpoint_max_contribution"] = endpoint_max_contribution
+
+    def gold_candidate_reorder(spark, sf):
+        # ≙ update_entity_list (REEL/candidates.py:103-137): move the gold
+        # candidate to the head of each candidate list
+        toks = C.doc_tokens(_docs(spark, sf), 3)
+        lists = toks.groupBy("doc_id").agg(F.sort_array(F.collect_set("token")).alias("cands"))
+        gold = F.array_min("cands")
+        return lists.select(
+            "doc_id",
+            F.concat(F.array(gold), F.array_remove("cands", gold)).alias("reordered"),
+        )
+
+    q["gold_candidate_reorder"] = gold_candidate_reorder
+
     # --- ER pipeline stages over driver data (non-SQL-expressible: rows-only) ---
     def er_resolve(spark, sf):
         docs = _docs(spark, sf)
@@ -694,5 +752,29 @@ def oracle_sql() -> dict[str, str]:
         "join nation on c_nationkey = n_nationkey group by 1), "
         "k as (select n_name, revenue, row_number() over (order by revenue desc, n_name asc) as rank from r) "
         "select n_name, revenue, rank from k where rank <= 5"
+    )
+    o["best_candidate_gap"] = (
+        "with q as (select vec_id as query_id, embedding as qe from embeddings where vec_id < 10), "
+        "scored as (select q.query_id, e.vec_id, "
+        "round(list_dot_product(e.embedding, q.qe) / (sqrt(list_dot_product(e.embedding, e.embedding)) * sqrt(list_dot_product(q.qe, q.qe))), 4) as cos "
+        "from embeddings e cross join q where e.vec_id != q.query_id), "
+        "r as (select query_id, vec_id, cos, row_number() over (partition by query_id order by cos desc, vec_id asc) as rank from scored), "
+        "t as (select query_id, vec_id, cos, lead(cos) over (partition by query_id order by rank) as next_cos, rank from r where rank <= 2), "
+        "g as (select query_id, vec_id, round(cos - coalesce(next_cos, 0.0), 4) as gap from t where rank = 1), "
+        "rn as (select query_id, vec_id as runner_id from r where rank = 2) "
+        "select g.query_id, case when g.gap >= 0.1 or rn.runner_id is null then g.vec_id "
+        "else least(g.vec_id, rn.runner_id) end as best_id, g.gap from g left join rn using (query_id)"
+    )
+    o["endpoint_max_contribution"] = (
+        "with per_src as (select l_partkey, l_suppkey, "
+        "max(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) as max_contrib_cents "
+        "from lineitem group by 1, 2) "
+        "select l_partkey, cast(sum(max_contrib_cents) as bigint) as total_cents, count(*) as n_sources from per_src group by 1"
+    )
+    o["gold_candidate_reorder"] = (
+        "with tk as (select distinct doc_id, t.token as token from documents, "
+        "unnest(string_split(text,' ')) as t(token) where length(t.token) >= 3), "
+        "l as (select doc_id, list_sort(list(token)) as cands from tk group by 1) "
+        "select doc_id, list_prepend(list_min(cands), list_filter(cands, x -> x != list_min(cands))) as reordered from l"
     )
     return o

@@ -5,28 +5,99 @@
 block-key self-join over *distinct normalized forms* so pair count is
 vocabulary-bounded, not corpus-bounded.
 
-Skew guard: a stop-word-like token would create a quadratic block (the
-reference dodges this only via its fuzzy limit=10,
-/root/reference/src/REEL/candidates.py:50-52).  We cap each block at
-MAX_BLOCK_FORMS members with a deterministic order and *report* the
-number of dropped members per block in a metrics DataFrame — no silent
-truncation.  AQE skew-join splitting is the runtime backstop.
+Skew guard (north rule: "salted hash keys", SURVEY.md §4 item 1): a
+stop-word-like token would create a quadratic block (the reference dodges
+this only via its fuzzy limit=10, /root/reference/src/REEL/candidates.py:
+50-52).  Blocks over ``max_block`` members are SALTED, not silently
+truncated:
+
+- members split into ``ceil(n / max_block)`` sub-blocks by a
+  deterministic md5-derived salt (same hash as the oracle — never a
+  partitioner-dependent value, so resume/retry reproduce it);
+- the lexicographically-first ``n_anchors`` members are REPLICATED into
+  every pair's reach by an anchor×members join, so any two sub-blocks
+  remain transitively connectable through the anchors (a hot surface
+  form still resolves to ONE cluster);
+- pair count per hot block is bounded by
+  n_sub · C(max_block, 2) + n_anchors · n  — linear in n, not quadratic;
+- a metrics DataFrame reports every salted block (key, members, n_salts)
+  so nothing is truncated silently.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
-from nilinker_spark.oracle import MAX_BLOCK_FORMS
+from nilinker_spark.oracle import MAX_BLOCK_FORMS, N_ANCHORS
+
+
+def _salt60(col, n_salts) -> F.Column:
+    """Deterministic salt in [0, n_salts): md5-derived, identical to the
+    oracle's (functions share the formula via oracle.salt_of)."""
+    h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, n_salts).cast("int")
+
+
+def candidate_pairs(
+    blocked: DataFrame,
+    max_block: int = MAX_BLOCK_FORMS,
+    n_anchors: int = N_ANCHORS,
+) -> tuple[DataFrame, DataFrame]:
+    """(norm, block_key) -> distinct (norm_a, norm_b), norm_a < norm_b.
+
+    Returns (pairs, salt_metrics)."""
+    sizes = blocked.groupBy("block_key").agg(F.count("*").alias("members"))
+    b = blocked.join(sizes, "block_key")
+
+    cold = b.filter(F.col("members") <= max_block).select("block_key", "norm")
+    hot = b.filter(F.col("members") > max_block).select("block_key", "norm", "members")
+
+    # --- cold blocks: plain within-block self-join -------------------------
+    ca = cold.select("block_key", F.col("norm").alias("norm_a"))
+    cb = cold.select("block_key", F.col("norm").alias("norm_b"))
+    cold_pairs = ca.join(cb, "block_key").filter(F.col("norm_a") < F.col("norm_b"))
+
+    # --- hot blocks: salted sub-blocks + replicated anchors -----------------
+    n_salts = F.ceil(F.col("members") / F.lit(max_block)).cast("int")
+    salted = hot.withColumn("salt", _salt60(F.col("norm"), n_salts)).withColumn(
+        "sub_key", F.concat_ws("#", "block_key", "salt")
+    )
+    sa = salted.select("sub_key", F.col("norm").alias("norm_a"))
+    sb = salted.select("sub_key", F.col("norm").alias("norm_b"))
+    sub_pairs = sa.join(sb, "sub_key").filter(F.col("norm_a") < F.col("norm_b"))
+
+    w = Window.partitionBy("block_key").orderBy("norm")
+    anchors = (
+        hot.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_anchors)
+        .select("block_key", F.col("norm").alias("anchor"))
+    )
+    anchor_pairs = (
+        anchors.join(hot.select("block_key", "norm"), "block_key")
+        .filter(F.col("anchor") != F.col("norm"))
+        .select(
+            F.least("anchor", "norm").alias("norm_a"),
+            F.greatest("anchor", "norm").alias("norm_b"),
+        )
+    )
+
+    pairs = (
+        cold_pairs.select("norm_a", "norm_b")
+        .unionByName(sub_pairs.select("norm_a", "norm_b"))
+        .unionByName(anchor_pairs)
+        .dropDuplicates(["norm_a", "norm_b"])
+    )
+    metrics = hot.select("block_key", "members").distinct().withColumn(
+        "n_salts", F.ceil(F.col("members") / F.lit(max_block)).cast("int")
+    )
+    return pairs, metrics
 
 
 def capped_blocks(blocked: DataFrame, max_block: int = MAX_BLOCK_FORMS) -> tuple[DataFrame, DataFrame]:
-    """Cap block membership deterministically; return (kept, drop_metrics).
-
-    drop_metrics(block_key, members, dropped) has one row per over-cap
-    block — the lineage/metrics surface for silent-truncation audits.
-    """
+    """Deterministic hard cap (kept for comparison/tests): keep the
+    lexicographically-first max_block members per block; report drops."""
     w = Window.partitionBy("block_key").orderBy("norm")
     ranked = blocked.withColumn("rn", F.row_number().over(w))
     kept = ranked.filter(F.col("rn") <= max_block).drop("rn")
@@ -37,17 +108,3 @@ def capped_blocks(blocked: DataFrame, max_block: int = MAX_BLOCK_FORMS) -> tuple
         .withColumn("dropped", F.col("members") - F.lit(max_block))
     )
     return kept, metrics
-
-
-def candidate_pairs(blocked: DataFrame, max_block: int = MAX_BLOCK_FORMS) -> tuple[DataFrame, DataFrame]:
-    """(norm, block_key) -> distinct (norm_a, norm_b) with norm_a < norm_b."""
-    kept, metrics = capped_blocks(blocked, max_block)
-    a = kept.select(F.col("block_key"), F.col("norm").alias("norm_a"))
-    b = kept.select(F.col("block_key"), F.col("norm").alias("norm_b"))
-    pairs = (
-        a.join(b, "block_key")
-        .filter(F.col("norm_a") < F.col("norm_b"))
-        .select("norm_a", "norm_b")
-        .dropDuplicates(["norm_a", "norm_b"])
-    )
-    return pairs, metrics

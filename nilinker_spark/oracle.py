@@ -31,8 +31,15 @@ from nilinker_spark.functions.similarity import fuzzy_best_match, levenshtein
 MAX_MENTION_TOKENS = 4
 ALPHA = 0.6  # cosine weight in the blended score
 TAU = 0.80  # edge threshold
-MAX_BLOCK_FORMS = 64  # cap on distinct forms per block (skew guard)
+MAX_BLOCK_FORMS = 64  # sub-block target size for salted hot blocks
+N_ANCHORS = 8  # replicated members keeping salted sub-blocks connectable
 PAD_CANDS = 16  # candidate block width fed to the attention (top ids)
+
+
+def salt_of(norm: str, n_salts: int) -> int:
+    """Deterministic md5-derived salt — the same formula as the Spark side
+    (pairs._salt60), so salted pair sets are identical everywhere."""
+    return int(hashlib.md5(norm.encode()).hexdigest()[:15], 16) % n_salts
 
 
 def mention_id(url: str, pos: int, surface: str) -> str:
@@ -161,13 +168,31 @@ def cluster_forms(forms: list[str], kb: KBFixture) -> dict[str, str]:
     uf = UnionFind()
     for f in forms:
         uf.find(f)
+    pairs: set[tuple[str, str]] = set()
     for _key, members in sorted(blocks.items()):
-        members = sorted(set(members))[:MAX_BLOCK_FORMS]
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                a, b = members[i], members[j]
-                if blended_score(pvs[a], pvs[b], a, b) >= TAU:
-                    uf.union(a, b)
+        members = sorted(set(members))
+        n = len(members)
+        if n <= MAX_BLOCK_FORMS:
+            for i in range(n):
+                for j in range(i + 1, n):
+                    pairs.add((members[i], members[j]))
+        else:
+            # salted sub-blocks + replicated anchors (mirrors pairs.py)
+            n_salts = -(-n // MAX_BLOCK_FORMS)
+            subs: dict[int, list[str]] = {}
+            for m in members:
+                subs.setdefault(salt_of(m, n_salts), []).append(m)
+            for grp in subs.values():
+                for i in range(len(grp)):
+                    for j in range(i + 1, len(grp)):
+                        pairs.add((grp[i], grp[j]))
+            for anchor in members[:N_ANCHORS]:
+                for m in members:
+                    if m != anchor:
+                        pairs.add((min(anchor, m), max(anchor, m)))
+    for a, b in sorted(pairs):
+        if blended_score(pvs[a], pvs[b], a, b) >= TAU:
+            uf.union(a, b)
     return {f: uf.find(f) for f in forms}
 
 

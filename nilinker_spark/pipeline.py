@@ -170,8 +170,8 @@ class Pipeline:
 
         def build_pairs() -> DataFrame:
             blocked = block_keys_df(pvs.select("norm"))
-            pairs, drop_metrics = candidate_pairs(blocked, self.max_block)
-            self._checkpoint("block_drop_metrics", drop_metrics)
+            pairs, salt_metrics = candidate_pairs(blocked, self.max_block)
+            self._checkpoint("block_salt_metrics", salt_metrics)
             return pairs
 
         pairs = stage("pairs", build_pairs)
