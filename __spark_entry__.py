@@ -478,7 +478,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         gold = F.array_min("cands")
         return lists.select(
             "doc_id",
-            F.concat(F.array(gold), F.array_remove("cands", gold)).alias("reordered"),
+            # string-joined (not array-typed): value-hash comparison across
+            # engines must not depend on array stringification
+            F.concat_ws(
+                " ", F.concat(F.array(gold), F.array_remove("cands", gold))
+            ).alias("reordered"),
         )
 
     q["gold_candidate_reorder"] = gold_candidate_reorder
@@ -775,6 +779,6 @@ def oracle_sql() -> dict[str, str]:
         "with tk as (select distinct doc_id, t.token as token from documents, "
         "unnest(string_split(text,' ')) as t(token) where length(t.token) >= 3), "
         "l as (select doc_id, list_sort(list(token)) as cands from tk group by 1) "
-        "select doc_id, list_prepend(list_min(cands), list_filter(cands, x -> x != list_min(cands))) as reordered from l"
+        "select doc_id, array_to_string(list_prepend(list_min(cands), list_filter(cands, x -> x != list_min(cands))), ' ') as reordered from l"
     )
     return o

@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 LO_CPUS = int(os.environ.get("SPARK_GRAFT_LO_CPUS", "8"))
-ER_REPLICATE = int(os.environ.get("SPARK_GRAFT_ER_REPLICATE", "128"))
+ER_REPLICATE = int(os.environ.get("SPARK_GRAFT_ER_REPLICATE", "160"))
 ER_RUNS = int(os.environ.get("SPARK_GRAFT_ER_RUNS", "1"))
 
 
@@ -109,10 +109,11 @@ def main() -> None:
     # --- scaling evidence first (cold box): same ER job at two parallelism
     # levels, each in a fresh JVM; interleaved rounds + best-per-level to
     # ride out host-noise periods --------------------------------------------
+    # fresh-JVM subprocess per run, order alternated between rounds (the
+    # host shows multi-minute noise periods — each level gets an early
+    # slot), best throughput per level
     runs = {LO_CPUS: [], CPUS: []}
-    # alternate the order between rounds: the sandbox host shows slow
-    # multi-minute noise periods, so each level gets one "early" slot
-    for order in ((LO_CPUS, CPUS), (CPUS, LO_CPUS)):
+    for order in ((CPUS, LO_CPUS), (LO_CPUS, CPUS)):
         for c in order:
             runs[c].append(_er_subprocess(c))
     n_docs = runs[LO_CPUS][0]["docs"]

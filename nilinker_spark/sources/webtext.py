@@ -37,10 +37,11 @@ def webtext_from_documents(docs: DataFrame, replicate: int = 1, partitions: int 
     else:
         base = docs.withColumn("rep", F.lit(0))
     if partitions is None:
-        # exactly one task per core for the python extraction stage: the
-        # per-task worker handshake is partially serialized, so fewer,
-        # bigger Arrow tasks amortize better (uniform rows -> no stragglers)
-        partitions = docs.sparkSession.sparkContext.defaultParallelism
+        # half the task slots for the python extraction stage: during
+        # mapInPandas the JVM feeder thread AND its python worker are both
+        # runnable, so cores/2 concurrent tasks saturate the cores without
+        # oversubscribing (uniform rows -> no stragglers from fewer tasks)
+        partitions = max(1, docs.sparkSession.sparkContext.defaultParallelism // 2)
     if partitions > 1:
         base = base.repartition(partitions)
     return base.select(
