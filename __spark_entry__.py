@@ -487,6 +487,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gold_candidate_reorder"] = gold_candidate_reorder
 
+    def eval_filter_top_pred(spark, sf):
+        # ≙ filter_top_pred protocol (evaluation_evanil.py:19-36): remove
+        # the held-out true concept from the ranking, first remaining is
+        # the answer, judged against the gold (= runner-up here)
+        from nilinker_spark.operators.candidates import filter_top_pred
+
+        emb = load_table(spark, sf, "embeddings")
+        qdf = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+        )
+        top = C.ann_topk_bruteforce(emb, qdf, k=5)
+        preds = top.groupBy("query_id").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rank", "vec_id"))),
+                lambda s: s["vec_id"].cast("string"),
+            ).alias("ranked")
+        ).select(
+            "query_id",
+            "ranked",
+            F.try_element_at("ranked", F.lit(1)).alias("true_id"),
+            F.try_element_at("ranked", F.lit(2)).alias("gold_id"),
+        )
+        return filter_top_pred(preds)
+
+    q["eval_filter_top_pred"] = eval_filter_top_pred
+
     # --- ER pipeline stages over driver data (non-SQL-expressible: rows-only) ---
     def er_resolve(spark, sf):
         docs = _docs(spark, sf)
@@ -780,5 +806,16 @@ def oracle_sql() -> dict[str, str]:
         "unnest(string_split(text,' ')) as t(token) where length(t.token) >= 3), "
         "l as (select doc_id, list_sort(list(token)) as cands from tk group by 1) "
         "select doc_id, array_to_string(list_prepend(list_min(cands), list_filter(cands, x -> x != list_min(cands))), ' ') as reordered from l"
+    )
+    o["eval_filter_top_pred"] = (
+        "with q as (select vec_id as query_id, embedding as qe from embeddings where vec_id < 10), "
+        "scored as (select q.query_id, e.vec_id, "
+        "round(list_dot_product(e.embedding, q.qe) / (sqrt(list_dot_product(e.embedding, e.embedding)) * sqrt(list_dot_product(q.qe, q.qe))), 4) as cos "
+        "from embeddings e cross join q where e.vec_id != q.query_id), "
+        "r as (select query_id, vec_id, row_number() over (partition by query_id order by cos desc, vec_id asc) as rank from scored), "
+        "l as (select query_id, list(cast(vec_id as varchar) order by rank) as ranked from r where rank <= 5 group by 1), "
+        "p as (select query_id, ranked, ranked[1] as true_id, ranked[2] as gold_id from l), "
+        "f as (select query_id, list_filter(ranked, x -> x != true_id) as remaining, gold_id from p) "
+        "select query_id, remaining[1] as answer, remaining[1] = gold_id as is_correct from f"
     )
     return o

@@ -254,3 +254,123 @@ def write_corpus_fixtures(spark: SparkSession, base: str, seed: int = 42, n_docs
         "n_docs": n_docs,
         "n_jsonl_mentions": n_jsonl_mentions,
     }
+
+
+# ---------------------------------------------------------------------------
+# PubTator sink (≙ /root/reference/src/evanil/dataset.py:452-474,
+# annotations.py:118-143) — parity-checkable round trip with the reader
+# ---------------------------------------------------------------------------
+
+
+def write_pubtator(ann: DataFrame, docs: DataFrame, path: str) -> None:
+    """annotations(doc_id, mention, kb_id, ...) + docs(doc_id, title, text)
+    -> PubTator text blocks.  Pure concat_ws projections; one output line
+    per row, blocks reassembled by sorting on (doc_id, line_rank)."""
+    title_lines = docs.select(
+        F.col("doc_id"),
+        F.lit(0).alias("rank"),
+        F.concat_ws("|", "doc_id", F.lit("t"), "title").alias("line"),
+    )
+    abstract_lines = docs.select(
+        F.col("doc_id"),
+        F.lit(1).alias("rank"),
+        F.concat_ws("|", "doc_id", F.lit("a"), "text").alias("line"),
+    )
+    ann_lines = ann.select(
+        F.col("doc_id"),
+        F.lit(2).alias("rank"),
+        F.concat_ws(
+            "\t", "doc_id", F.lit("0"), F.lit("5"), "mention", F.lit("Entity"), "kb_id"
+        ).alias("line"),
+    )
+    (
+        title_lines.unionByName(abstract_lines)
+        .unionByName(ann_lines)
+        .orderBy("doc_id", "rank", "line")
+        .select("line")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# OBO-style ontology scan (≙ KnowledgeBase.load_obo,
+# /root/reference/src/utils/kbs.py:28-142)
+# ---------------------------------------------------------------------------
+
+
+def read_obo_kb(spark: SparkSession, path: str, namespace: str | None = None):
+    """OBO stanza file -> (concepts, aliases, edges).
+
+    Stanzas split relationally: read wholetext, split on '[Term]', explode,
+    then regexp_extract projections per field.  Reference-parity filters:
+    obsolete terms dropped (kbs.py:78-82), optional namespace filter
+    (kbs.py:56-63), OMIM xrefs excluded (kbs.py:65-71), synonyms override
+    names on alias collision (≙ {**name_to_id, **synonym_to_id},
+    word_concept.py:40) via a precedence dedup."""
+    raw = spark.read.text(path, wholetext=True)
+    stanzas = raw.select(F.explode(F.split("value", r"\[Term\]")).alias("s")).filter(
+        F.col("s").contains("id:")
+    )
+    term = stanzas.select(
+        F.regexp_extract("s", r"(?m)^id: (\S+)", 1).alias("kb_id"),
+        F.regexp_extract("s", r"(?m)^name: (.+)$", 1).alias("name"),
+        F.regexp_extract("s", r"(?m)^namespace: (\S+)", 1).alias("ns"),
+        F.col("s").contains("is_obsolete: true").alias("is_obsolete"),
+        F.expr(r"regexp_extract_all(s, '(?m)^is_a: (\\S+)', 1)").alias("parents"),
+        F.expr(r"""regexp_extract_all(s, '(?m)^synonym: "([^"]+)"', 1)""").alias("syns"),
+    ).filter(F.length("kb_id") > 0)
+
+    live = term.filter(~F.col("is_obsolete")).filter(~F.col("kb_id").startswith("OMIM"))
+    if namespace:
+        live = live.filter(F.col("ns") == namespace)
+
+    concepts = live.select("kb_id", "name", (F.size("parents") == 0).alias("is_root"))
+    names = live.select(F.col("name").alias("alias"), "kb_id", F.lit(False).alias("is_synonym"))
+    syns = live.select(F.explode("syns").alias("alias"), "kb_id").withColumn(
+        "is_synonym", F.lit(True)
+    )
+    # synonyms take precedence on collision: sort within alias, keep first
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("alias").orderBy(F.desc("is_synonym"), F.asc("kb_id"))
+    aliases = (
+        names.unionByName(syns)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    edges = live.select(F.col("kb_id").alias("child_id"), F.explode("parents").alias("parent_id"))
+    return concepts, aliases, edges
+
+
+def write_obo_fixture(path: str, seed: int = 7, n_terms: int = 30) -> dict:
+    """Seeded OBO stanza fixture with obsolete terms, multi-parent nodes,
+    namespaces, OMIM xref ids, and a colliding name/synonym pair."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    lines = ["format-version: 1.2\n"]
+    n_obsolete = 0
+    for i in range(n_terms):
+        lines.append("[Term]")
+        lines.append(f"id: KB:{i:04d}")
+        lines.append(f"name: term {i}")
+        lines.append(f"namespace: {'biological_process' if i % 2 == 0 else 'other'}")
+        if i > 0:
+            lines.append(f"is_a: KB:{int(rng.integers(0, i)):04d}")
+            if i > 10 and rng.random() < 0.3:
+                lines.append(f"is_a: KB:{int(rng.integers(0, i)):04d}")
+        if i % 7 == 3:
+            lines.append('synonym: "alt term %d" EXACT []' % i)
+        if i == 5:
+            lines.append('synonym: "term 4" EXACT []')  # collides with name of 4
+        if i % 11 == 10:
+            lines.append("is_obsolete: true")
+            n_obsolete += 1
+        lines.append("")
+    lines.append("[Term]\nid: OMIM:123\nname: excluded omim\n")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    return {"n_terms": n_terms, "n_obsolete": n_obsolete}

@@ -97,3 +97,19 @@ def test_phrase_vectors_hand_oracle():
 def test_l2_normalize_zero_row_safe():
     out = l2_normalize(np.zeros((1, 4), dtype=np.float32))
     assert not np.isnan(out).any()
+
+
+def test_model_weights_npz_roundtrip(tmp_path):
+    """H5-weights-scan analog (≙ predict_nilinker.py:27-33): the scorer
+    fixture persists and reloads bit-identically."""
+    import numpy as np
+
+    from nilinker_spark.fixtures.kb import make_kb
+    from nilinker_spark.functions.model import ModelWeights
+
+    kb = make_kb(seed=42, n_concepts=50)
+    path = str(tmp_path / "best.npz")
+    np.savez(path, **kb.weights.to_npz_dict())
+    loaded = ModelWeights.from_npz(path)
+    for key, arr in kb.weights.to_npz_dict().items():
+        assert (getattr(loaded, key) == arr).all(), key
