@@ -53,7 +53,12 @@ def resolve(
     # corpus-level stages run at full parallelism; mentions materializes
     # once (columnar compressed cache — NOT localCheckpoint, whose
     # deserialized java rows cost ~2x the extraction itself at 10^7 rows)
-    # and serves both the distinct and the final join
+    # and serves both the distinct and the final join.
+    # NOTE: extract_mentions_relational (zero Python stages) exists and is
+    # parity-tested, but measured SLOWER here: the per-position explode
+    # evaluates 4 regexes + 2 string builds per token JVM-side (~200M
+    # regex execs at 1M docs) vs ~60 memoized dict probes per doc in the
+    # Arrow scan.  The vectorized Python path is the measured fast path.
     mentions = extract_mentions_df(spark, webtext, gazetteer).persist()
     forms = mentions.select("norm").distinct().localCheckpoint(eager=True)
 

@@ -1,0 +1,56 @@
+"""Relational extraction fast path == Python greedy scan, exactly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nilinker_spark.operators.extract import (
+    extract_mentions_df,
+    extract_mentions_relational,
+)
+from nilinker_spark.plans import has_python_stage
+from nilinker_spark.sources.webtext import gazetteer_from_documents, load_table, webtext_from_documents
+
+
+@pytest.fixture(scope="module")
+def derived(spark):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    webtext = webtext_from_documents(docs).cache()
+    gazetteer = gazetteer_from_documents(docs)
+    return webtext, gazetteer
+
+
+def test_fastpath_identical_to_python_path(spark, derived):
+    webtext, gazetteer = derived
+    py = extract_mentions_df(spark, webtext, gazetteer)
+    rel = extract_mentions_relational(spark, webtext, gazetteer)
+    assert py.exceptAll(rel).isEmpty() and rel.exceptAll(py).isEmpty()
+    assert py.count() == rel.count() > 0
+
+
+def test_fastpath_plan_is_python_free(spark, derived):
+    webtext, gazetteer = derived
+    rel = extract_mentions_relational(spark, webtext, gazetteer)
+    assert not has_python_stage(rel)
+
+
+def test_fastpath_greedy_overlap_runs(spark):
+    """Hand-built overlap chain: tokens a b a b a — gazetteer {'a b','b a'}.
+    Greedy takes pos 0 ('a b'), skips pos 1, takes pos 2 ('a b'); pos 3
+    ('b a') is consumed."""
+    wt = spark.createDataFrame(
+        [("u", b"a b a b a", "a b a b a", "en")],
+        "url string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.current_timestamp())
+    out = extract_mentions_relational(spark, wt, {"a b", "b a"}).orderBy("pos").collect()
+    assert [(r["pos"], r["surface"]) for r in out] == [(0, "a b"), (2, "a b")]
+    # and the python path agrees
+    py = extract_mentions_df(spark, wt, {"a b", "b a"}).orderBy("pos").collect()
+    assert [(r["pos"], r["surface"]) for r in py] == [(0, "a b"), (2, "a b")]
+
+
+def test_fastpath_rejects_non_bigram_gazetteer(spark, derived):
+    webtext, _ = derived
+    with pytest.raises(AssertionError):
+        extract_mentions_relational(spark, webtext, {"single"})
