@@ -97,3 +97,34 @@ def test_lineage_rows_written(spark, kb, webtext_df, tmp_path_factory):
     lin = pipe.lineage().toPandas()
     assert set(lin["stage"]) >= {"mentions", "phrase_vecs", "pairs", "scored", "edges", "clusters", "resolved"}
     assert (lin["rows"] >= 0).all()
+
+
+def test_pairwise_f1_vs_gold_labels(pipeline_resolved, kb):
+    """Stronger than oracle parity: the pipeline's clusters judged against
+    the fixture's GOLD labels on same-block pairs with the EvaNIL-style
+    refined split — typo/plural variants must co-cluster with their
+    canonical forms (≙ the link-to-ancestor evaluation of
+    /root/reference/evaluation_evanil.py:95-135)."""
+    import itertools
+
+    from nilinker_spark.oracle import block_keys
+
+    gold = {norm_form(s): g for s, g, _ in kb.surface_forms}
+    pipe = dict(zip(pipeline_resolved["norm"], pipeline_resolved["cluster_id"]))
+    forms = sorted(pipe)
+    train = {f for f in forms if hash_bucket(f) < 70}
+    test_forms = [f for f in forms if f not in train]
+    blocks_of = {f: set(block_keys(f)) for f in test_forms}
+    tp = fp = fn = 0
+    for a, b in itertools.combinations(test_forms, 2):
+        if not (blocks_of[a] & blocks_of[b]):
+            continue
+        want = gold.get(a) == gold.get(b) and gold.get(a) is not None
+        got = pipe[a] == pipe[b]
+        tp += got and want
+        fp += got and not want
+        fn += (not got) and want
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 1.0
+    assert f1 >= 0.99, f"gold pairwise F1 {f1:.4f} (tp={tp} fp={fp} fn={fn})"
