@@ -89,3 +89,35 @@ def test_corpus_ops_no_python(spark):
         assert has_whole_stage_codegen(C.dedup_exact(docs))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path_factory):
+    """Bucketing both sides of a recurring join key pre-co-locates the
+    data: the join plan must contain no Exchange (the bucketing pattern
+    for the corpus-sized mention/doc joins at 100 TB)."""
+    from nilinker_spark.plans import explain_str
+
+    docs = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("x")
+    )
+    stats = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("y")
+    )
+    spark.sql("drop table if exists b_docs")
+    spark.sql("drop table if exists b_stats")
+    docs.write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("b_docs")
+    stats.write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("b_stats")
+    # force the sort-merge path (the fixture fits the broadcast threshold,
+    # which would hide the bucketing; at corpus scale SMJ is what runs)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_docs").join(spark.table("b_stats"), "doc_id")
+        plan = explain_str(joined)
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("drop table if exists b_docs")
+        spark.sql("drop table if exists b_stats")
