@@ -261,6 +261,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_topk_lsh"] = ann_topk_lsh  # rows-only: approximate recall by design
 
+    def embedding_neardup_lsh(spark, sf):
+        return C.embedding_neardup_lsh(load_table(spark, sf, "embeddings"), threshold=0.5)
+
+    q["embedding_neardup_lsh"] = embedding_neardup_lsh  # rows-only: LSH recall
+
     # --- corpus ops: text analysis ----------------------------------------------
     q["text_quality"] = lambda spark, sf: C.text_quality(_docs(spark, sf))
     q["token_counts"] = lambda spark, sf: C.token_counts(_docs(spark, sf))

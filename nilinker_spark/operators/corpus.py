@@ -314,3 +314,36 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.bit_xor("ph").alias("fingerprint"))
     )
+
+
+def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.8, n_planes: int = 8) -> DataFrame:
+    """Near-dup pairs via random-hyperplane LSH bucketing (the scale path
+    for :func:`embedding_neardup_pairs`): vectors sharing a signature are
+    candidates; exact cosine verifies within the bucket.  An equi-join on
+    the signature instead of an O(n²) theta-join — recall is approximate
+    (near-identical vectors almost always share all plane signs)."""
+    def signature(vec_col: str) -> F.Column:
+        planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
+
+        def plane_bit(p):
+            prods = F.zip_with(
+                F.col(vec_col),
+                F.transform(F.sequence(F.lit(0), F.size(vec_col) - 1), lambda d: p * F.lit(1000) + d),
+                lambda x, key: x.cast("double")
+                * (F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("double") / F.lit(float(2**59)) - 1.0),
+            )
+            s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+            return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
+
+        return F.concat_ws("", F.transform(planes, plane_bit))
+
+    sig = emb.withColumn("sig", signature("embedding"))
+    a = sig.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "sig")
+    b = sig.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "sig")
+    return (
+        a.join(b, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(_cosine("ea", "eb"), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -119,3 +119,24 @@ def test_information_content_formula(spark, docs_sf=None):
             assert ic == pytest.approx(2.0)
         else:
             assert ic == pytest.approx(-math.log(5 / 10) + 2)
+
+
+def test_embedding_neardup_lsh_finds_neardups(spark):
+    """LSH near-dup must recover pairs the brute-force path finds (near-
+    identical vectors share all plane signs with overwhelming probability)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(0, 60, 2):
+        v = rng.normal(size=16).astype("float32")
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1, [float(x) for x in (v + rng.normal(scale=0.01, size=16).astype("float32"))]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = {(r["id_a"], r["id_b"]) for r in C.embedding_neardup_pairs(emb, threshold=0.99).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in C.embedding_neardup_lsh(emb, threshold=0.99).collect()}
+    planted = {(i, i + 1) for i in range(0, 60, 2)}
+    assert planted <= brute
+    # LSH recall on planted near-dups >= 90%, and no false positives
+    assert len(lsh & planted) >= int(0.9 * len(planted))
+    assert lsh <= brute
