@@ -123,6 +123,19 @@ def main() -> None:
 
     # --- headline query battery at local[CPUS] -----------------------------
     spark = _fresh_spark(CPUS)
+
+    # same methodology as the scaling runs: fork + import the python
+    # worker pool before the timed section (warm-up is not throughput)
+    def _warm(batches):
+        import nilinker_spark.functions.model  # noqa: F401
+        import nilinker_spark.oracle  # noqa: F401
+
+        yield from batches
+
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_warm, "id long").count()
+
     qs = entrymod.queries()
     headline = [
         "er_resolve",
