@@ -257,14 +257,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ann_topk_lsh(spark, sf):
         emb = load_table(spark, sf, "embeddings")
-        return C.ann_topk_lsh(emb, _queries_df(spark, sf), k=5)
+        return C.ann_topk_lsh(emb, _queries_df(spark, sf), k=5, dim=64)
 
-    q["ann_topk_lsh"] = ann_topk_lsh  # rows-only: approximate recall by design
+    # hash-exact oracle: the hyperplanes are literal constants shared with
+    # the SQL twin (recall vs brute force is tested separately in
+    # tests/test_corpus.py — the oracle checks the LSH output itself)
+    q["ann_topk_lsh"] = ann_topk_lsh
 
     def embedding_neardup_lsh(spark, sf):
-        return C.embedding_neardup_lsh(load_table(spark, sf, "embeddings"), threshold=0.5)
+        # threshold 0.2: the synthetic embeddings have no true near-dups,
+        # so 0.5 returns zero rows — 0.2 keeps the oracle comparison
+        # non-vacuous (~60 bucket-verified pairs at sf0.01)
+        return C.embedding_neardup_lsh(
+            load_table(spark, sf, "embeddings"), threshold=0.2, dim=64
+        )
 
-    q["embedding_neardup_lsh"] = embedding_neardup_lsh  # rows-only: LSH recall
+    q["embedding_neardup_lsh"] = embedding_neardup_lsh
 
     # --- corpus ops: text analysis ----------------------------------------------
     q["text_quality"] = lambda spark, sf: C.text_quality(_docs(spark, sf))
@@ -545,6 +553,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
+def _lsh_sig_sql(vec_expr: str, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of corpus.lsh_signature: the hyperplane weights are the
+    SAME literal floats (repr round-trips a double exactly on both sides),
+    and the dot is forced to double so the sign test matches Spark's
+    sequential float64 fold bit-for-bit."""
+    from nilinker_spark.operators.corpus import hyperplane_weights
+
+    bits = []
+    for row in hyperplane_weights(n_planes, dim):
+        arr = "[" + ", ".join(repr(v) for v in row) + "]"
+        bits.append(
+            "(case when list_dot_product(list_transform("
+            + vec_expr
+            + ", x -> cast(x as double)), "
+            + arr
+            + ") > 0 then '1' else '0' end)"
+        )
+    return "(" + " || ".join(bits) + ")"
+
+
 def oracle_sql() -> dict[str, str]:
     toks3 = (
         "select distinct doc_id, t.token from documents, "
@@ -671,6 +699,32 @@ def oracle_sql() -> dict[str, str]:
         "where round(list_dot_product(a.embedding, b.embedding) / "
         "(sqrt(list_dot_product(a.embedding, a.embedding)) * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.5"
     )
+    o["ann_topk_lsh"] = (
+        "with e as (select vec_id, embedding, "
+        + _lsh_sig_sql("embedding")
+        + " as sig from embeddings), "
+        "q as (select vec_id as query_id, embedding as qe, sig from e where vec_id < 10), "
+        "cands as (select q.query_id, e.vec_id, e.embedding, q.qe from e join q using (sig) "
+        "where e.vec_id != q.query_id), "
+        "scored as (select query_id, vec_id, "
+        "round(list_dot_product(embedding, qe) / "
+        "(sqrt(list_dot_product(embedding, embedding)) * sqrt(list_dot_product(qe, qe))), 4) as cos "
+        "from cands), "
+        "r as (select query_id, vec_id, cos, row_number() over "
+        "(partition by query_id order by cos desc, vec_id asc) as rank from scored) "
+        "select query_id, vec_id, cos, rank from r where rank <= 5"
+    )
+    o["embedding_neardup_lsh"] = (
+        "with s as (select vec_id, embedding, "
+        + _lsh_sig_sql("embedding")
+        + " as sig from embeddings) "
+        "select a.vec_id as id_a, b.vec_id as id_b, "
+        "round(list_dot_product(a.embedding, b.embedding) / "
+        "(sqrt(list_dot_product(a.embedding, a.embedding)) * sqrt(list_dot_product(b.embedding, b.embedding))), 4) as cos "
+        "from s a join s b on a.sig = b.sig and a.vec_id < b.vec_id "
+        "where round(list_dot_product(a.embedding, b.embedding) / "
+        "(sqrt(list_dot_product(a.embedding, a.embedding)) * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.2"
+    )
     o["ann_topk"] = (
         "with q as (select vec_id as query_id, embedding as qe from embeddings where vec_id < 10), "
         "scored as (select q.query_id, e.vec_id, "
@@ -705,7 +759,9 @@ def oracle_sql() -> dict[str, str]:
         "with base as (select doc_id, string_split(text,' ') as toks from documents), "
         "tk as (select doc_id, i - 1 as pos, toks[i] as token from base, "
         "unnest(range(1, len(toks) + 1)) as r(i)), "
-        "ph as (select doc_id, cast(('0x' || substr(md5(token), 1, 12)) as bigint) * (pos + 1) as ph from tk) "
+        "ph as (select doc_id, "
+        + _H60.format(x="concat(token, '|', pos)")
+        + " as ph from tk) "
         "select doc_id, bit_xor(ph) as fingerprint from ph group by 1"
     )
     o["windowed_agg"] = (
@@ -811,6 +867,41 @@ def oracle_sql() -> dict[str, str]:
         "unnest(string_split(text,' ')) as t(token) where length(t.token) >= 3), "
         "l as (select doc_id, list_sort(list(token)) as cands from tk group by 1) "
         "select doc_id, array_to_string(list_prepend(list_min(cands), list_filter(cands, x -> x != list_min(cands))), ' ') as reordered from l"
+    )
+    # DuckDB twin of the flagship S1 extraction (operators/extract.py:33 +
+    # oracle.extract_mentions).  Valid because (a) every gazetteer entry
+    # here is exactly two words — only length-2 probes can match (word-
+    # count gate) — and (b) the corpus tokens are normalization-invariant,
+    # so greedy longest-match consumption reduces to "even offset within
+    # each maximal run of consecutive matching positions" (the same
+    # reduction extract_mentions_relational uses, parity-tested in
+    # tests/test_extract_fastpath.py).
+    _norm_sql = (
+        "trim(regexp_replace(regexp_replace("
+        "replace(replace(replace(lower({t}), ':', '_'), ',', ''), '''', ''),"
+        " '[^a-z0-9\\- ]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+    o["er_extract_mentions"] = (
+        "with gaz as (select array_to_string(toks0[i:i+1], ' ') as s "
+        "from (select string_split(text, ' ') as toks0 from documents), "
+        "unnest(range(1, greatest(len(toks0) - 1, 0) + 1)) as r(i) "
+        "where len(toks0[i:i+1]) = 2 "
+        "group by s order by count(*) desc, s asc limit 100), "
+        "dt as (select 'doc://0/' || doc_id as url, "
+        "trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) as text "
+        "from documents where lang = 'en'), "
+        "base as (select url, string_split(text, ' ') as toks from dt), "
+        "p as (select url, i - 1 as pos, toks[i] || ' ' || toks[i+1] as surface, "
+        + _norm_sql.format(t="toks[i]")
+        + " || ' ' || "
+        + _norm_sql.format(t="toks[i+1]")
+        + " as nbigram from base, unnest(range(1, len(toks))) as r(i)), "
+        "m as (select p.* from p join gaz on p.nbigram = gaz.s), "
+        "runs as (select *, pos - row_number() over (partition by url order by pos) as rk from m), "
+        "res as (select *, min(pos) over (partition by url, rk) as run_start from runs) "
+        "select url, substr(md5(url || '|' || pos || '|' || surface), 1, 16) as mention_id, "
+        "surface, cast(pos as int) as pos, nbigram as norm "
+        "from res where (pos - run_start) % 2 = 0"
     )
     o["eval_filter_top_pred"] = (
         "with q as (select vec_id as query_id, embedding as qe from embeddings where vec_id < 10), "

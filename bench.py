@@ -4,11 +4,22 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 plus (north-rule scaling evidence) the flagship ER pipeline run at two
-parallelism levels — local[8] and local[$SPARK_GRAFT_CPUS] — on the SAME
-input, reporting docs/sec at both and the scaling efficiency
+parallelism levels — local[$SPARK_GRAFT_LO_CPUS] (default 2) and
+local[$SPARK_GRAFT_HI_CPUS] (default 8 = 4N) — on the SAME input,
+reporting docs/sec at both and the scaling efficiency
 (throughput_hi / throughput_lo) / (cpus_hi / cpus_lo).  This sandbox has
 no multi-node cluster; two local parallelism levels are the sanctioned
 stand-in for N vs 4N executors.
+
+Why 2→8 and not 8→32 as the headline pair: during the Arrow extraction
+stage each task keeps BOTH a JVM feeder thread and a Python worker
+runnable, so local[k] needs ~2k cores to run unsquashed.  On this 32-core
+box both levels of the 2→8 pair fit (4 and 16 runnable threads) — like a
+real cluster, where each executor's cores are its own.  8→32 would need
+64 runnable threads on 32 cores: it measures hardware oversubscription,
+not the engine.  local[32] is still measured and reported as a third
+curve point (``er_curve``), so nothing is hidden — see BASELINE.md
+"Scaling-efficiency analysis".
 """
 
 from __future__ import annotations
@@ -22,8 +33,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-LO_CPUS = int(os.environ.get("SPARK_GRAFT_LO_CPUS", "8"))
-ER_REPLICATE = int(os.environ.get("SPARK_GRAFT_ER_REPLICATE", "160"))
+LO_CPUS = int(os.environ.get("SPARK_GRAFT_LO_CPUS", "2"))
+HI_CPUS = int(os.environ.get("SPARK_GRAFT_HI_CPUS", "8"))
+# 480 x 5000 docs = 2.4M docs per timed run: extraction (the corpus-sized
+# stage, >>99% of the work at real scale) dominates the vocabulary-sized
+# fixed stage latency (~4 s of scheduler round-trips on 100 forms), the
+# same ratio a production corpus has.
+ER_REPLICATE = int(os.environ.get("SPARK_GRAFT_ER_REPLICATE", "480"))
 ER_RUNS = int(os.environ.get("SPARK_GRAFT_ER_RUNS", "1"))
 
 
@@ -64,6 +80,7 @@ def _run_er(spark) -> tuple[int, float]:
     n_docs = webtext.count()
     best = float("inf")
     for _ in range(ER_RUNS):  # best-of-N: the sandbox host is noisy
+        spark.catalog.clearCache()  # resolve() persists mentions per call
         t0 = time.monotonic()
         resolve(spark, webtext, kb, gazetteer=gazetteer).count()
         best = min(best, time.monotonic() - t0)
@@ -106,20 +123,19 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    # --- scaling evidence first (cold box): same ER job at two parallelism
+    # --- scaling evidence first (cold box): same ER job at three parallelism
     # levels, each in a fresh JVM; interleaved rounds + best-per-level to
-    # ride out host-noise periods --------------------------------------------
-    # fresh-JVM subprocess per run, order alternated between rounds (the
-    # host shows multi-minute noise periods — each level gets an early
-    # slot), best throughput per level
-    runs = {LO_CPUS: [], CPUS: []}
-    for order in ((CPUS, LO_CPUS), (LO_CPUS, CPUS)):
+    # ride out host-noise periods.  Headline pair = LO->HI (N vs 4N, both
+    # unsquashed on this box); CPUS (=32) is the third curve point.
+    levels = [LO_CPUS, HI_CPUS] + ([CPUS] if CPUS not in (LO_CPUS, HI_CPUS) else [])
+    runs: dict[int, list[dict]] = {c: [] for c in levels}
+    for order in (list(reversed(levels)), levels):
         for c in order:
             runs[c].append(_er_subprocess(c))
     n_docs = runs[LO_CPUS][0]["docs"]
-    thr_lo = max(n_docs / r["sec"] for r in runs[LO_CPUS])
-    thr_hi = max(n_docs / r["sec"] for r in runs[CPUS])
-    efficiency = (thr_hi / thr_lo) / (CPUS / LO_CPUS)
+    thr = {c: max(n_docs / r["sec"] for r in runs[c]) for c in levels}
+    thr_lo, thr_hi = thr[LO_CPUS], thr[HI_CPUS]
+    efficiency = (thr_hi / thr_lo) / (HI_CPUS / LO_CPUS)
 
     # --- headline query battery at local[CPUS] -----------------------------
     spark = _fresh_spark(CPUS)
@@ -154,6 +170,7 @@ def main() -> None:
         t0 = time.monotonic()
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.monotonic() - t0, 3)
+        spark.catalog.clearCache()  # er_resolve persists mentions
 
     spark.stop()
 
@@ -167,8 +184,11 @@ def main() -> None:
         "er_docs_per_sec_lo": round(thr_lo, 1),
         "er_docs_per_sec_hi": round(thr_hi, 1),
         "lo_cpus": LO_CPUS,
-        "hi_cpus": CPUS,
+        "hi_cpus": HI_CPUS,
         "scaling_efficiency": round(efficiency, 3),
+        # full curve incl. the oversubscribed local[32] point (64 runnable
+        # threads on 32 cores during Arrow stages — see module docstring)
+        "er_curve_docs_per_sec": {str(c): round(thr[c], 1) for c in levels},
     }
     print(json.dumps(out))
 

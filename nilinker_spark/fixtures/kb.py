@@ -40,6 +40,15 @@ class KBFixture:
     def vocab_sorted(self) -> list[str]:
         return sorted(self.word2id)
 
+    @property
+    def fingerprint(self) -> str:
+        """Identity of the fuzzy-resolution function: fuzzy_best_match is a
+        pure function of (token, vocab), so the vocab hash keys any
+        per-worker memo — two KBs in one session must never share one."""
+        import hashlib
+
+        return hashlib.md5("\x00".join(sorted(self.word2id)).encode()).hexdigest()
+
     def concept_int(self, kb_id: str) -> int:
         return int(kb_id.split(":")[1])
 

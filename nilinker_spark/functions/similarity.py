@@ -35,6 +35,60 @@ def lev_ratio(a: str, b: str) -> float:
     return 1.0 - levenshtein(a, b) / m
 
 
+def jaro(a: str, b: str) -> float:
+    """Jaro similarity in [0,1] — the classic public algorithm (matching
+    window = max(len)/2 - 1, transposition count over matched chars)."""
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if not la or not lb:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    match_a = [False] * la
+    match_b = [False] * lb
+    m = 0
+    for i, ca in enumerate(a):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not match_b[j] and b[j] == ca:
+                match_a[i] = match_b[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if match_a[i]:
+            while not match_b[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler(a: str, b: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    """Jaro-Winkler: Jaro boosted by the common prefix (<= ``max_prefix``).
+
+    The second string feature of the scoring blend (north_star:
+    "Jaro-Winkler/Levenshtein string features"; reference's fuzzy family
+    = rapidfuzz/jellyfish, requirements.txt:4-5).  Pure Python on BOTH
+    sides (pipeline pandas UDF + oracle), so parity is by construction.
+    """
+    j = jaro(a, b)
+    l = 0
+    for ca, cb in zip(a, b):
+        if ca != cb or l >= max_prefix:
+            break
+        l += 1
+    return j + l * p * (1.0 - j)
+
+
 def token_sort_ratio(a: str, b: str) -> float:
     """rapidfuzz-style token_sort_ratio in [0,1]: sort tokens, join, ratio.
 

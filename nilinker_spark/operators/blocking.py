@@ -32,10 +32,12 @@ from nilinker_spark.fixtures.kb import KBFixture
 from nilinker_spark.functions.similarity import fuzzy_best_match
 from nilinker_spark.oracle import PAD_CANDS
 
-# per-worker-process fuzzy-resolution memo (token -> word_id); safe because
-# fuzzy_best_match is a pure function of (token, vocab) and the vocab is
-# constant for a pipeline run
-_FUZZY_CACHE: dict[str, int] = {}
+# per-worker-process fuzzy-resolution memo, keyed by KB vocab fingerprint:
+# {kb_fingerprint: {token: word_id}}.  fuzzy_best_match is a pure function
+# of (token, vocab), so entries are valid for exactly one vocab — scoping
+# by fingerprint keeps two pipelines with different KBs in one long-lived
+# worker from poisoning each other.
+_FUZZY_CACHE: dict[str, dict[str, int]] = {}
 
 
 def _tokens_lr(df: DataFrame) -> DataFrame:
@@ -103,6 +105,7 @@ def phrase_vectors_df(spark: SparkSession, forms: DataFrame, kb: KBFixture) -> D
             "word2id": dict(kb.word2id),
             "wc_by_id": {kb.word2id[w]: cands[:PAD_CANDS] for w, cands in kb.wc.items()},
             "weights": kb.weights.to_npz_dict(),
+            "fingerprint": kb.fingerprint,
         }
     )
 
@@ -117,14 +120,16 @@ def phrase_vectors_df(spark: SparkSession, forms: DataFrame, kb: KBFixture) -> D
         z = kbv["weights"]
         w = ModelWeights(z["W_a"], z["b_a"], z["W_c"], z["b_c"], z["word_embeds"], z["cand_embeds"])
 
+        memo = _FUZZY_CACHE.setdefault(kbv["fingerprint"], {})
+
         def wid(tok: str) -> int:
             hit = w2i.get(tok)
             if hit is not None:
                 return hit
-            hit = _FUZZY_CACHE.get(tok)
+            hit = memo.get(tok)
             if hit is None:
                 hit = w2i[fuzzy_best_match(tok, vocab)]
-                _FUZZY_CACHE[tok] = hit
+                memo[tok] = hit
             return hit
 
         for pdf in batches:

@@ -213,7 +213,53 @@ def ann_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataF
     )
 
 
-def ann_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 8) -> DataFrame:
+def hyperplane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane weights in [-1, 1):
+    w[p][d] = h60(str(p*1000 + d)) / 2^59 - 1.
+
+    Computed ONCE driver-side (hashlib md5 == Spark md5 == DuckDB md5 on
+    the same decimal-string key) and folded into the plan as literal
+    arrays: the per-row work is then a plain dot product instead of
+    n_planes x dim md5 evaluations per vector.  Bit-identical to the
+    in-expression construction it replaces (long→double rounds to
+    nearest in both engines)."""
+    import hashlib
+
+    return [
+        [
+            float(int(hashlib.md5(str(p * 1000 + d).encode()).hexdigest()[:15], 16))
+            / float(2**59)
+            - 1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_signature(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """Bit-string signature: sign of <vec, plane> per hyperplane.
+
+    Requires uniform-dimension vectors (standard for an embedding table);
+    the dot is a sequential float64 fold — the same rounding order the
+    DuckDB oracle uses, so signatures agree bit-for-bit cross-engine."""
+    bits = []
+    for row in planes:
+        w = F.array(*[F.lit(v) for v in row])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), w, lambda x, wv: x.cast("double") * wv),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        # a vector whose length != dim null-poisons the fold; fail loudly
+        # instead of silently hashing every such row into the "0" bucket
+        guard = F.assert_true(dot.isNotNull(), F.lit("lsh_signature: vector length != dim"))
+        bits.append(F.when(guard.isNull() & (dot > 0), F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def ann_topk_lsh(
+    emb: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 8, dim: int = 64
+) -> DataFrame:
     """LSH-bucketed ANN (the scale path): random-hyperplane signatures.
 
     Hyperplanes are deterministic functions of (plane, dim) via the shared
@@ -221,22 +267,9 @@ def ann_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5, n_planes: int =
     same-signature vectors; exact cosine re-rank within bucket.  At
     1000 executors this is an equi-join on the signature, not a crossJoin.
     """
-    def signature(vec_col: str) -> F.Column:
-        planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
-        def plane_bit(p):
-            # pseudo-random hyperplane: weight(dim) = h60(p#dim)/2^59 - 1 in [-1,1)
-            prods = F.zip_with(
-                F.col(vec_col),
-                F.transform(F.sequence(F.lit(0), F.size(vec_col) - 1), lambda d: p * F.lit(1000) + d),
-                lambda x, key: x.cast("double")
-                * (F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("double") / F.lit(float(2**59)) - 1.0),
-            )
-            s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-            return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
-        return F.concat_ws("", F.transform(planes, plane_bit))
-
-    emb_sig = emb.withColumn("sig", signature("embedding"))
-    q_sig = queries.withColumn("sig", signature("q_embedding"))
+    planes = hyperplane_weights(n_planes, dim)
+    emb_sig = emb.withColumn("sig", lsh_signature("embedding", planes))
+    q_sig = queries.withColumn("sig", lsh_signature("q_embedding", planes))
     cands = emb_sig.join(F.broadcast(q_sig), "sig").filter(F.col("vec_id") != F.col("query_id"))
     scored = cands.withColumn("cos", F.round(_cosine("embedding", "q_embedding"), 4))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -307,37 +340,32 @@ def lang_id(docs: DataFrame) -> DataFrame:
 
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint) — order-sensitive rolling document fingerprint:
-    bit_xor over position-weighted token hashes (cheap near-dup probe)."""
+    bit_xor over hashes of (token, position) (cheap near-dup probe).
+
+    Position rides INSIDE the hash input, never as a multiplier: a
+    48-bit hash times pos overflows int64 at pos >= 32768 — a real
+    webtext-length document — and ANSI mode turns that into a job-killing
+    error (the DuckDB twin overflowed identically, so only long docs hit
+    it)."""
     toks = docs.select("doc_id", F.posexplode(tokens_col("text")).alias("pos", "token"))
     return (
-        toks.withColumn("ph", h60(F.col("token"), width=12) * (F.col("pos") + 1))
+        toks.withColumn("ph", h60(F.concat_ws("|", F.col("token"), F.col("pos"))))
         .groupBy("doc_id")
         .agg(F.bit_xor("ph").alias("fingerprint"))
     )
 
 
-def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.8, n_planes: int = 8) -> DataFrame:
+def embedding_neardup_lsh(
+    emb: DataFrame, threshold: float = 0.8, n_planes: int = 8, dim: int = 64
+) -> DataFrame:
     """Near-dup pairs via random-hyperplane LSH bucketing (the scale path
     for :func:`embedding_neardup_pairs`): vectors sharing a signature are
     candidates; exact cosine verifies within the bucket.  An equi-join on
     the signature instead of an O(n²) theta-join — recall is approximate
     (near-identical vectors almost always share all plane signs)."""
-    def signature(vec_col: str) -> F.Column:
-        planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
-
-        def plane_bit(p):
-            prods = F.zip_with(
-                F.col(vec_col),
-                F.transform(F.sequence(F.lit(0), F.size(vec_col) - 1), lambda d: p * F.lit(1000) + d),
-                lambda x, key: x.cast("double")
-                * (F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("double") / F.lit(float(2**59)) - 1.0),
-            )
-            s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-            return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
-
-        return F.concat_ws("", F.transform(planes, plane_bit))
-
-    sig = emb.withColumn("sig", signature("embedding"))
+    sig = emb.withColumn(
+        "sig", lsh_signature("embedding", hyperplane_weights(n_planes, dim))
+    )
     a = sig.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "sig")
     b = sig.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "sig")
     return (

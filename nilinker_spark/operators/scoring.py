@@ -1,23 +1,42 @@
-"""S4 — pairwise scoring: embedding cosine + string feature, JVM-side.
+"""S4 — pairwise scoring: embedding cosine + string features.
 
 The expensive model math (attention phrase vectors) already ran once per
-distinct form in S2; pair scoring is therefore a *native* Catalyst
+distinct form in S2; pair scoring is mostly a *native* Catalyst
 expression — zip_with/aggregate dot product on the two L2-normalized
-vector columns plus built-in levenshtein — keeping the hot O(pairs) path
-inside whole-stage codegen with zero Python crossings.
+vector columns plus built-in levenshtein.  The one Python crossing is
+the Jaro-Winkler feature (no Spark built-in), an Arrow-batched pandas
+UDF over the vocabulary-bounded pair table — never corpus-sized work.
 
 ≙ the reference's per-pair scoring inside REEL candidate files + the
 NILINKER softmax ranking (/root/reference/src/NILINKER/nilinker.py:150-153),
 collapsed to the pair-similarity the north rule requires (embedding
-dot-product + Levenshtein-family string features).
+dot-product + Jaro-Winkler/Levenshtein string features).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from nilinker_spark.oracle import ALPHA, TAU
+
+# Forced-broadcast ceiling for the phrase-vector / cluster tables, in
+# distinct forms.  250k forms x (200-dim float + form string) ~ 250 MB —
+# a comfortable per-executor broadcast.  Above this the hint would be a
+# driver/executor OOM at scale (10^7 forms x 200 dims = ~8 GB), so the
+# join falls through to AQE's choice (SMJ, or its own broadcast if the
+# runtime stats allow).
+BROADCAST_MAX_FORMS = 250_000
+
+
+def _maybe_broadcast(df: DataFrame, n_forms: int | None) -> DataFrame:
+    """Broadcast hint only when the form table is provably small; with
+    unknown size (None) keep the hint — callers that cannot count pass
+    the measured value from the pipeline's existing n_forms count."""
+    if n_forms is None or n_forms <= BROADCAST_MAX_FORMS:
+        return F.broadcast(df)
+    return df
 
 
 def dot_f64(col_a: str, col_b: str):
@@ -38,21 +57,47 @@ def lev_ratio_col(col_a: str, col_b: str):
     )
 
 
-def score_pairs(pairs: DataFrame, pvs: DataFrame, alpha: float = ALPHA) -> DataFrame:
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_udf(a, b):
+    """Jaro-Winkler over two string columns (Arrow-batched).
+
+    Spark has no built-in JW, so this is the one Python crossing in the
+    scoring stage — acceptable because pairs are vocabulary-bounded
+    (distinct-form pairs, never corpus-sized); the function is the SAME
+    pure-Python nilinker_spark.functions.similarity.jaro_winkler the
+    oracle uses, so scores agree bit-for-bit."""
+    import pandas as pd
+
+    from nilinker_spark.functions.similarity import jaro_winkler
+
+    return pd.Series([jaro_winkler(x, y) for x, y in zip(a, b)], dtype="float64")
+
+
+def score_pairs(
+    pairs: DataFrame, pvs: DataFrame, alpha: float = ALPHA, n_forms: int | None = None
+) -> DataFrame:
     """(norm_a, norm_b) x (norm, pv) -> (norm_a, norm_b, score).
 
-    The phrase-vector table is distinct-form-sized -> broadcast both joins;
-    the pair table never shuffles.
+    The phrase-vector table is distinct-form-sized; while it provably fits
+    (n_forms <= BROADCAST_MAX_FORMS) both joins broadcast and the pair
+    table never shuffles.  Above the ceiling the hint is dropped and AQE
+    picks the strategy — a forced 8 GB broadcast at 10^7 forms would be a
+    scale-killer, not an optimization.
     """
     pv_a = pvs.select(F.col("norm").alias("norm_a"), F.col("pv").alias("pv_a"))
     pv_b = pvs.select(F.col("norm").alias("norm_b"), F.col("pv").alias("pv_b"))
     scored = (
-        pairs.join(F.broadcast(pv_a), "norm_a")
-        .join(F.broadcast(pv_b), "norm_b")
+        pairs.join(_maybe_broadcast(pv_a, n_forms), "norm_a")
+        .join(_maybe_broadcast(pv_b, n_forms), "norm_b")
         .withColumn(
             "score",
+            # float-op order mirrors oracle.blended_score term for term
             F.lit(alpha) * dot_f64("pv_a", "pv_b")
-            + F.lit(1.0 - alpha) * lev_ratio_col("norm_a", "norm_b"),
+            + F.lit(1.0 - alpha)
+            * (
+                F.lit(0.5) * lev_ratio_col("norm_a", "norm_b")
+                + F.lit(0.5) * jaro_winkler_udf("norm_a", "norm_b")
+            ),
         )
         .select("norm_a", "norm_b", "score")
     )

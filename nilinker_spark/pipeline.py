@@ -42,11 +42,21 @@ def resolve(
     alpha: float = ALPHA,
     tau: float = TAU,
     max_block: int = MAX_BLOCK_FORMS,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Checkpoint-free functional composition of S1-S7 (entry/bench path).
 
     Same operators as :class:`Pipeline`, no materialization between
     stages — Catalyst sees the whole plan and AQE sizes the shuffles.
+
+    ``metrics_out``: pass a dict to receive the no-silent-truncation
+    metrics frames ({"mention_metrics", "block_salt_metrics"}, lazy) —
+    the functional twin of the checkpointed Pipeline's metrics tables.
+
+    NOTE: the mentions frame stays ``.persist()``-ed when this returns
+    (the returned plan still reads it).  Callers that loop resolve() in
+    one session should ``spark.catalog.clearCache()`` between runs, or
+    the block manager accumulates a cached mentions copy per call.
     """
     if gazetteer is None:
         gazetteer = {norm_form(s) for s, _, _ in kb.surface_forms}
@@ -68,18 +78,35 @@ def resolve(
     n_forms = forms.count()
     form_parts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")), n_forms // 50_000 + 1))
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # AQE re-plans every shuffle stage; on the vocabulary-sized form stages
+    # (often 1 partition) that re-planning is pure per-stage latency with
+    # nothing to adapt — turn it off for this section only.  The corpus-level
+    # stages (extraction, final join) keep AQE for skew/coalescing.
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(form_parts))
+    if n_forms < 1_000_000:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         pvs = phrase_vectors_df(spark, forms, kb).localCheckpoint(eager=True)
         blocked = block_keys_df(pvs.select("norm"))
-        pairs, _metrics = candidate_pairs(blocked, max_block)
-        scored = score_pairs(pairs, pvs, alpha)
+        pairs, salt_metrics = candidate_pairs(blocked, max_block)
+        scored = score_pairs(pairs, pvs, alpha, n_forms=n_forms)
         edges = similarity_edges(scored, tau)
         labels = connected_components(edges)
-        clusters = assign_clusters(pvs.select("norm"), labels).localCheckpoint(eager=True)
+        clusters = assign_clusters(pvs.select("norm"), labels, n_forms=n_forms).localCheckpoint(
+            eager=True
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return mentions.join(F.broadcast(clusters), "norm").select(
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    if metrics_out is not None:
+        from nilinker_spark.operators.skew import salted_count
+
+        metrics_out["mention_metrics"] = salted_count(mentions, "norm")
+        metrics_out["block_salt_metrics"] = salt_metrics
+    from nilinker_spark.operators.scoring import _maybe_broadcast
+
+    return mentions.join(_maybe_broadcast(clusters, n_forms), "norm").select(
         "url", "mention_id", "surface", "pos", "norm", "cluster_id"
     )
 
@@ -176,7 +203,11 @@ class Pipeline:
         def build_pairs() -> DataFrame:
             blocked = block_keys_df(pvs.select("norm"))
             pairs, salt_metrics = candidate_pairs(blocked, self.max_block)
-            self._checkpoint("block_salt_metrics", salt_metrics)
+            # guard like any stage: a crash between this write and the
+            # enclosing pairs commit must not append a second metrics
+            # lineage row on resume (one-lineage-row-per-stage invariant)
+            if not self._done("block_salt_metrics"):
+                self._checkpoint("block_salt_metrics", salt_metrics)
             return pairs
 
         pairs = stage("pairs", build_pairs)

@@ -65,3 +65,10 @@ def has_python_stage(df: DataFrame) -> bool:
     the hot-path operators must keep this False."""
     text = explain_str(df, "extended")
     return any(m in text for m in _PYTHON_MARKERS)
+
+
+def has_rowwise_python_stage(df: DataFrame) -> bool:
+    """True only for row-at-a-time pickled Python UDFs (BatchEvalPython) —
+    the slow path that must never appear anywhere.  Arrow-batched stages
+    (ArrowEvalPython/MapInPandas) are the sanctioned vectorized crossings."""
+    return "BatchEvalPython" in explain_str(df, "extended")

@@ -51,14 +51,18 @@ def stream_mentions(
         import pandas as pd
 
         from nilinker_spark.functions.normalize import extract_text, norm_form
-        from nilinker_spark.oracle import extract_mentions
+        from nilinker_spark.operators.extract import _NORM_CACHE, _NORM_CACHE_MAX
+        from nilinker_spark.oracle import extract_mentions, gazetteer_index
 
         gset = set(gz.value)
+        gidx = gazetteer_index(gset)
         for pdf in batches:
             urls, mids, surfaces, poss, norms, tss = [], [], [], [], [], []
+            if len(_NORM_CACHE) > _NORM_CACHE_MAX:
+                _NORM_CACHE.clear()
             for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
                 text = extract_text(bytes(html))
-                for mid, surface, pos in extract_mentions(url, text, gset):
+                for mid, surface, pos in extract_mentions(url, text, gset, _NORM_CACHE, gidx):
                     urls.append(url)
                     mids.append(mid)
                     surfaces.append(surface)

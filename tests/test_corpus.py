@@ -85,7 +85,7 @@ def test_ann_lsh_recall_vs_bruteforce(spark, kb):
     )
     exact = {r["query_id"]: r["vec_id"] for r in C.ann_topk_bruteforce(emb, queries, k=1).collect()}
     approx = {}
-    for r in C.ann_topk_lsh(emb, queries, k=1, n_planes=6).collect():
+    for r in C.ann_topk_lsh(emb, queries, k=1, n_planes=6, dim=16).collect():
         approx[r["query_id"]] = r["vec_id"]
     hits = sum(1 for q, v in exact.items() if approx.get(q) == v)
     assert hits >= 7, f"LSH top-1 recall {hits}/10 too low"
@@ -134,7 +134,7 @@ def test_embedding_neardup_lsh_finds_neardups(spark):
         rows.append((i + 1, [float(x) for x in (v + rng.normal(scale=0.01, size=16).astype("float32"))]))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     brute = {(r["id_a"], r["id_b"]) for r in C.embedding_neardup_pairs(emb, threshold=0.99).collect()}
-    lsh = {(r["id_a"], r["id_b"]) for r in C.embedding_neardup_lsh(emb, threshold=0.99).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in C.embedding_neardup_lsh(emb, threshold=0.99, dim=16).collect()}
     planted = {(i, i + 1) for i in range(0, 60, 2)}
     assert planted <= brute
     # LSH recall on planted near-dups >= 90%, and no false positives

@@ -113,3 +113,59 @@ def test_model_weights_npz_roundtrip(tmp_path):
     loaded = ModelWeights.from_npz(path)
     for key, arr in kb.weights.to_npz_dict().items():
         assert (getattr(loaded, key) == arr).all(), key
+
+
+def test_jaro_winkler_known_values():
+    """Classic published Jaro-Winkler examples (Winkler 1990 / SoftTF-IDF
+    literature) + boundary cases."""
+    import pytest
+
+    from nilinker_spark.functions.similarity import jaro, jaro_winkler
+
+    assert jaro("martha", "marhta") == pytest.approx(0.9444444444444445)
+    assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611111111111111)
+    assert jaro("dwayne", "duane") == pytest.approx(0.8222222222222223)
+    assert jaro_winkler("dwayne", "duane") == pytest.approx(0.8400000000000001)
+    assert jaro_winkler("same", "same") == 1.0
+    assert jaro_winkler("", "abc") == 0.0
+    assert jaro_winkler("abc", "") == 0.0
+    # matching window = max(len)//2 - 1 = 0 for 2-char strings: no
+    # cross-position matches (standard Jaro semantics, same as jellyfish)
+    assert jaro("ab", "ba") == 0.0
+    assert jaro("dixon", "dicksonx") == pytest.approx(0.7666666666666666)
+    assert jaro_winkler("dixon", "dicksonx") == pytest.approx(0.8133333333333332)
+
+
+def test_jaro_winkler_prefix_cap():
+    """Prefix boost caps at 4 chars (standard parameterization)."""
+    from nilinker_spark.functions.similarity import jaro, jaro_winkler
+
+    a, b = "abcdefgh", "abcdefxy"
+    j = jaro(a, b)
+    assert jaro_winkler(a, b) == j + 4 * 0.1 * (1 - j)
+
+
+def test_fuzzy_cache_scoped_by_kb_fingerprint(spark):
+    """Two KBs with different vocabularies in ONE session must resolve
+    independently — the per-worker fuzzy memo is keyed by the KB
+    fingerprint (a shared memo would poison the second pipeline)."""
+    from nilinker_spark.fixtures.kb import make_kb
+    from nilinker_spark.operators.blocking import phrase_vectors_df
+
+    kb1 = make_kb(seed=42, n_concepts=60)
+    kb2 = make_kb(seed=43, n_concepts=60)
+    assert kb1.fingerprint != kb2.fingerprint
+
+    forms = spark.createDataFrame([("zzqx",)], "norm string")  # OOV everywhere
+    pv1 = phrase_vectors_df(spark, forms, kb1).collect()[0]["pv"]
+    pv2 = phrase_vectors_df(spark, forms, kb2).collect()[0]["pv"]
+    # same OOV token, different vocab -> different fuzzy resolution target
+    # (would be identical if the memo leaked across KBs)
+    import math
+
+    d = sum((x - y) ** 2 for x, y in zip(pv1, pv2))
+    assert not math.isclose(d, 0.0), "phrase vectors identical across different KBs"
+
+    # and re-running kb1 is stable (memo correctness, not just isolation)
+    pv1b = phrase_vectors_df(spark, forms, kb1).collect()[0]["pv"]
+    assert pv1 == pv1b

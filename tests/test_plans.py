@@ -59,10 +59,14 @@ def test_scoring_joins_broadcast(spark):
     pvs = spark.createDataFrame([("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "norm string, pv array<float>")
     scored = score_pairs(pairs, pvs)
     assert has_broadcast_join(scored)
-    # the blend must stay JVM-side: zero Python stages in pair scoring
-    # (zip_with/aggregate are interpreted, not codegen'd — still no
-    # serde crossing, which is the property that matters)
-    assert not has_python_stage(scored)
+    # cosine + levenshtein stay JVM-side (zip_with/aggregate are
+    # interpreted, not codegen'd — still no serde crossing); the one
+    # sanctioned Python stage is the Arrow-batched Jaro-Winkler UDF over
+    # the vocabulary-bounded pair table — never a row-at-a-time
+    # BatchEvalPython
+    from nilinker_spark.plans import has_rowwise_python_stage
+
+    assert not has_rowwise_python_stage(scored)
 
 
 def test_final_cluster_join_broadcast(spark, kb, webtext_df):
