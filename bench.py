@@ -123,17 +123,25 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    # --- scaling evidence first (cold box): same ER job at three parallelism
-    # levels, each in a fresh JVM; interleaved rounds + best-per-level to
-    # ride out host-noise periods.  Headline pair = LO->HI (N vs 4N, both
-    # unsquashed on this box); CPUS (=32) is the third curve point.
+    # --- scaling evidence first: same ER job at three parallelism levels,
+    # each in a fresh JVM.  Protocol against the two measured noise modes:
+    # 1. HOST warm-up (page cache / cpufreq): the first ~60-90 s of Spark
+    #    work after an idle period runs ~30-40% slow and the speedup
+    #    persists ACROSS processes — so one discarded throwaway run first.
+    # 2. multi-minute noise periods: interleaved rounds + best-per-level.
+    # Headline pair = LO->HI (N vs 4N, both unsquashed on this box);
+    # CPUS (=32, oversubscribed 2x during Arrow stages) is the third
+    # curve point, measured last.
+    _er_subprocess(HI_CPUS)  # host warm-up, not recorded
     levels = [LO_CPUS, HI_CPUS] + ([CPUS] if CPUS not in (LO_CPUS, HI_CPUS) else [])
     runs: dict[int, list[dict]] = {c: [] for c in levels}
-    for order in (list(reversed(levels)), levels):
+    for order in ((HI_CPUS, LO_CPUS), (LO_CPUS, HI_CPUS)):
         for c in order:
             runs[c].append(_er_subprocess(c))
+    if CPUS in runs and not runs[CPUS]:
+        runs[CPUS].append(_er_subprocess(CPUS))
     n_docs = runs[LO_CPUS][0]["docs"]
-    thr = {c: max(n_docs / r["sec"] for r in runs[c]) for c in levels}
+    thr = {c: max(n_docs / r["sec"] for r in runs[c]) for c in levels if runs[c]}
     thr_lo, thr_hi = thr[LO_CPUS], thr[HI_CPUS]
     efficiency = (thr_hi / thr_lo) / (HI_CPUS / LO_CPUS)
 
@@ -188,7 +196,7 @@ def main() -> None:
         "scaling_efficiency": round(efficiency, 3),
         # full curve incl. the oversubscribed local[32] point (64 runnable
         # threads on 32 cores during Arrow stages — see module docstring)
-        "er_curve_docs_per_sec": {str(c): round(thr[c], 1) for c in levels},
+        "er_curve_docs_per_sec": {str(c): round(thr[c], 1) for c in levels if c in thr},
     }
     print(json.dumps(out))
 

@@ -95,10 +95,10 @@ def extract_text_df(spark: SparkSession, webtext: DataFrame) -> DataFrame:
 def _norm_tok(col):
     """Relational twin of functions.normalize.norm_form for a single token
     (no inner spaces): lowercase, ':'->'_', strip ,' then non-[a-z0-9- ]
-    runs -> space, collapse, trim."""
-    s = F.lower(col)
-    s = F.regexp_replace(s, ":", "_")
-    s = F.regexp_replace(s, "[,']", "")
+    runs -> space, collapse, trim.  The char fixups ride ONE translate
+    (':' maps, ','/'\\'' delete) instead of two regexps — this runs per
+    corpus token."""
+    s = F.translate(F.lower(col), ":,'", "_")
     s = F.regexp_replace(s, "[^a-z0-9\\- ]+", " ")
     s = F.regexp_replace(s, "\\s+", " ")
     return F.trim(s)
@@ -125,6 +125,13 @@ def extract_mentions_relational(
     window expression.  Identity verified against the Python path in
     tests/test_extract_fastpath.py.
 
+    PRECONDITION (enforced in-plan, not silently assumed): no raw token
+    may normalize to MORE than one word (e.g. 'foo.bar' -> 'foo bar').
+    The Python greedy scan would match such a token as a length-1 probe;
+    the bigram join cannot, so equivalence would break.  Rows violating
+    this raise a job-killing error naming the fallback
+    (extract_mentions_df) — loud wrongness, never quiet divergence.
+
     Plan shape: scan(url, html) -> posexplode(tokens) -> broadcast
     semi-join on the bigram -> one window per doc — all whole-stage
     codegen except the window; no Arrow crossing at all.
@@ -134,11 +141,23 @@ def extract_mentions_relational(
         spark.createDataFrame([(g,) for g in sorted(gazetteer)], "bigram string")
     )
 
+    raw_ntoks = F.transform(F.col("toks"), _norm_tok)
+    multiword = F.exists(raw_ntoks, lambda t: t.contains(" "))
+    guarded_ntoks = F.when(
+        F.assert_true(
+            ~multiword,
+            F.lit(
+                "extract_mentions_relational: a token normalized to multiple "
+                "words — use extract_mentions_df (Arrow path) for this corpus"
+            ),
+        ).isNull(),
+        raw_ntoks,
+    ).otherwise(raw_ntoks)
     base = (
         webtext.filter(F.col("lang") == "en")
         .select("url", extract_text_col(F.col("html")).alias("text"))
         .select("url", F.split("text", " ").alias("toks"))
-        .withColumn("ntoks", F.transform("toks", _norm_tok))
+        .withColumn("ntoks", guarded_ntoks)
     )
     # build (pos, nbigram, surface) structs BEFORE exploding — exploding a
     # row that still carries the whole token array would duplicate it per

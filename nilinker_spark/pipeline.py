@@ -162,6 +162,24 @@ class Pipeline:
         ).write.mode("append").parquet(os.path.join(self.ckpt_dir, "lineage_log"))
         return out
 
+    def _checkpoint_append(self, stage: str, df: DataFrame) -> None:
+        """Parquet-APPEND an increment to a stage table + one lineage row
+        recording the post-append stats (the lineage log is an append-only
+        audit; _done() only needs >= 1 row)."""
+        t0 = time.monotonic()
+        df.write.mode("append").parquet(self._path(stage))
+        out = self.spark.read.parquet(self._path(stage))
+        stats = out.agg(
+            F.count("*").alias("rows"),
+            F.coalesce(F.bit_xor(F.xxhash64(*out.columns)), F.lit(0)).alias("checksum"),
+        ).collect()[0]
+        lineage_row = [
+            (stage, int(stats["rows"]), int(stats["checksum"]), int((time.monotonic() - t0) * 1000))
+        ]
+        self.spark.createDataFrame(
+            lineage_row, "stage string, rows long, checksum long, wall_ms long"
+        ).write.mode("append").parquet(os.path.join(self.ckpt_dir, "lineage_log"))
+
     def _load(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self._path(stage))
 
@@ -237,3 +255,60 @@ class Pipeline:
             ),
         )
         return resolved
+
+    # --- cross-run incremental batch resume ---------------------------------
+    def run_incremental(self, new_webtext: DataFrame) -> DataFrame:
+        """Append new documents to a COMPLETED run; only never-seen
+        normalized forms pay the model math.
+
+        The batch twin of the streaming first-seen dedup
+        (streaming/stateful.py) and the reference's read-modify-write
+        candidate cache (/root/reference/src/REEL/pre_process.py:250-307):
+
+        - ``mentions`` grows by parquet APPEND — only the new documents
+          are scanned;
+        - ``phrase_vecs`` grows by APPEND of exactly the forms absent
+          from the checkpointed table (left_anti) — only new forms cross
+          the Arrow scoring UDF;
+        - the vocabulary-sized tail (pairs → … → resolved) is recomputed
+          over the full form set — corpus-free work — so the final
+          clusters are IDENTICAL to a from-scratch run on the full corpus
+          (new edges may legitimately re-cluster old forms; tested).
+
+        Caller contract: ``new_webtext`` urls are disjoint from all prior
+        runs (same as any append-only ingest).
+        """
+        assert self._done("resolved"), "run() must complete before run_incremental()"
+        gazetteer = {norm_form(s) for s, _, _ in self.kb.surface_forms}
+
+        new_m = extract_mentions_df(self.spark, new_webtext, gazetteer).persist()
+        self._checkpoint_append("mentions", new_m)
+
+        new_forms = (
+            new_m.select("norm")
+            .distinct()
+            .join(self._load("phrase_vecs").select("norm"), "norm", "left_anti")
+            .localCheckpoint(eager=True)  # tiny; breaks the read-append cycle
+        )
+        self._checkpoint_append("phrase_vecs", phrase_vectors_df(self.spark, new_forms, self.kb))
+        new_m.unpersist()
+
+        from nilinker_spark.operators.skew import salted_count
+
+        mentions = self._load("mentions")
+        self._checkpoint("mention_metrics", salted_count(mentions, "norm"))
+        pvs = self._load("phrase_vecs")
+        blocked = block_keys_df(pvs.select("norm"))
+        pairs, salt_metrics = candidate_pairs(blocked, self.max_block)
+        self._checkpoint("block_salt_metrics", salt_metrics)
+        pairs = self._checkpoint("pairs", pairs)
+        scored = self._checkpoint("scored", score_pairs(pairs, pvs, self.alpha))
+        edges = self._checkpoint("edges", similarity_edges(scored, self.tau))
+        labels = connected_components(edges)
+        clusters = self._checkpoint("clusters", assign_clusters(pvs.select("norm"), labels))
+        return self._checkpoint(
+            "resolved",
+            mentions.join(F.broadcast(clusters), "norm").select(
+                "url", "mention_id", "surface", "pos", "norm", "cluster_id"
+            ),
+        )

@@ -142,6 +142,215 @@ def read_xml_corpus(spark: SparkSession, path: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GSC+ corpus (≙ parse_GSC_corpus, /root/reference/src/REEL/annotations.py:118-148)
+# ---------------------------------------------------------------------------
+
+
+def read_gsc_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """GSC+ annotation files: one file per doc, lines
+    ``<span>\\t<HP id> | <mention text>``; doc_id = file name.
+
+    Relational: text scan + input_file_name + split projections — the
+    reference's per-line ``annot.split('|')`` / ``split('\\t')[1][:-1]``
+    (annotations.py:139-143) as column expressions."""
+    lines = spark.read.text(path).withColumn(
+        "doc_id", F.regexp_extract(F.input_file_name(), "([^/]+)$", 1)
+    )
+    halves = F.split(F.col("value"), "\\|", 2)
+    return (
+        lines.filter(F.length("value") > 0)
+        .select(
+            "doc_id",
+            F.trim(F.try_element_at(halves, F.lit(2))).alias("mention"),
+            F.trim(F.try_element_at(F.split(F.try_element_at(halves, F.lit(1)), "\t"), F.lit(2))).alias(
+                "kb_id"
+            ),
+        )
+        .filter(F.col("mention").isNotNull() & (F.length("kb_id") > 0))
+        .dropDuplicates(["doc_id", "mention"])
+        .withColumn("ancestor_id", F.lit(None).cast("string"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PHAEDRA corpus (≙ parse_phaedra_corpus, REEL/annotations.py:151-186)
+# ---------------------------------------------------------------------------
+
+
+def read_phaedra_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """PHAEDRA brat ``.a1`` files under train/dev/test: normalization rows
+    start with 'N', kb ref is the 3rd space-field of column 2, MeSH only;
+    ``MeSH:`` ids are rewritten ``MESH_`` (annotations.py:175-177);
+    doc_id = file stem."""
+    lines = spark.read.text(f"{path}/*/*.a1").withColumn(
+        "doc_id",
+        F.regexp_extract(F.input_file_name(), "([^/]+)\\.a1$", 1),
+    )
+    parts = F.split(F.col("value"), "\t")
+    kb_ref = F.try_element_at(F.split(F.try_element_at(parts, F.lit(2)), " "), F.lit(3))
+    return (
+        lines.filter(F.try_element_at(parts, F.lit(1)).startswith("N"))
+        .select(
+            "doc_id",
+            F.trim(F.try_element_at(parts, F.lit(3))).alias("mention"),
+            kb_ref.alias("kb_ref"),
+        )
+        .filter(F.col("kb_ref").startswith("MeSH"))
+        .select(
+            "doc_id",
+            "mention",
+            F.regexp_replace("kb_ref", "^MeSH:", "MESH_").alias("kb_id"),
+        )
+        .dropDuplicates(["doc_id", "mention"])
+        .withColumn("ancestor_id", F.lit(None).cast("string"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ChEBI patents corpus (≙ parse_chebi_patents, REEL/annotations.py:189-225)
+# ---------------------------------------------------------------------------
+
+
+def read_chebi_patents_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Patent dirs each holding ``scrapbook.xml``; annotations are the
+    ``<ne>`` elements under ``<snippet>``.  A chebi-id that is missing,
+    ``WO``-prefixed, or comma-multivalued becomes the NIL id
+    (annotations.py:207-215).  XML needs a real parser — mapInPandas,
+    like the knowtator reader."""
+    files = (
+        spark.read.format("binaryFile")
+        .load(path + "/*/scrapbook.xml")
+        .select("path", "content")
+    )
+
+    def parse(batches):
+        import os
+        import xml.etree.ElementTree as ET
+
+        import pandas as pd
+
+        for pdf in batches:
+            doc_ids, mentions, kb_ids = [], [], []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                doc_id = os.path.basename(os.path.dirname(p))
+                root = ET.fromstring(bytes(content).decode("utf-8"))
+                for s in root.iter("snippet"):
+                    for ne in s.findall("ne"):
+                        if ne.text is None:
+                            continue
+                        cid = ne.get("chebi-id")
+                        if not cid or cid.startswith("WO") or "," in cid:
+                            cid = "NIL"
+                        doc_ids.append(doc_id)
+                        mentions.append(ne.text)
+                        kb_ids.append(cid)
+            yield pd.DataFrame({"doc_id": doc_ids, "mention": mentions, "kb_id": kb_ids})
+
+    return (
+        files.mapInPandas(parse, "doc_id string, mention string, kb_id string")
+        .dropDuplicates(["doc_id", "mention"])
+        .withColumn("ancestor_id", F.lit(None).cast("string"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ChEBI 3-star KB: three-table join (≙ KnowledgeBase.load_chebi,
+# /root/reference/src/utils/kbs.py:201-305)
+# ---------------------------------------------------------------------------
+
+
+def read_chebi_3star_kb(
+    spark: SparkSession, relations_path: str, compounds_path: str, names_path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """relation_3star.tsv + compounds_3star.tsv + names_3star.tsv ->
+    (concepts, aliases, edges).
+
+    The reference builds ``terms_to_include`` from the is_a relations and
+    filters both the compounds and synonym tables against it
+    (kbs.py:216-271) — here those membership checks are semi-joins
+    against the distinct edge-endpoint frame (broadcastable: the KB is
+    the small side at any corpus scale)."""
+    rel = spark.read.csv(relations_path, sep="\t").toDF("rel_id", "rel_type", "child", "parent")
+    edges = rel.filter(F.col("rel_type") == "is_a").select(
+        F.concat(F.lit("CHEBI:"), F.col("child")).alias("child_id"),
+        F.concat(F.lit("CHEBI:"), F.col("parent")).alias("parent_id"),
+    )
+    terms = (
+        edges.select(F.col("child_id").alias("kb_id"))
+        .unionByName(edges.select(F.col("parent_id").alias("kb_id")))
+        .distinct()
+    )
+
+    comp = spark.read.csv(compounds_path, sep="\t").toDF(
+        "c0", "c1", "kb_id", "c3", "c4", "name"
+    )
+    concepts = (
+        comp.filter(F.col("name") != "null")
+        .join(F.broadcast(terms), "kb_id")
+        .select("kb_id", "name")
+        .withColumn("is_root", F.lit(False))
+        .dropDuplicates(["kb_id"])
+    )
+
+    names = spark.read.csv(names_path, sep="\t").toDF("n0", "cid", "n2", "n3", "alias")
+    syns = (
+        names.select(F.concat(F.lit("CHEBI:"), F.col("cid")).alias("kb_id"), "alias")
+        .join(F.broadcast(terms), "kb_id")
+        .select("alias", "kb_id")
+        .withColumn("is_synonym", F.lit(True))
+    )
+    aliases = (
+        concepts.select(F.col("name").alias("alias"), "kb_id", F.lit(False).alias("is_synonym"))
+        .unionByName(syns)
+        .dropDuplicates(["alias", "kb_id"])
+    )
+    return concepts, aliases, edges
+
+
+# ---------------------------------------------------------------------------
+# UMLS -> HP chained mapping join (≙ parse_MedMentions filter chain,
+# /root/reference/src/evanil/annotations.py:275-300 + the xref mapping of
+# kbs.py:105-113)
+# ---------------------------------------------------------------------------
+
+
+def read_obo_umls_xrefs(spark: SparkSession, path: str) -> DataFrame:
+    """(umls_id, kb_id) from ``xref: UMLS:...`` lines of an OBO file —
+    the mapping the reference builds while loading HP (kbs.py:105-113)."""
+    raw = spark.read.text(path, wholetext=True)
+    stanzas = raw.select(F.explode(F.split("value", r"\[Term\]")).alias("s")).filter(
+        F.col("s").contains("id:")
+    )
+    return (
+        stanzas.select(
+            F.regexp_extract("s", r"(?m)^id: (\S+)", 1).alias("kb_id"),
+            F.expr(r"regexp_extract_all(s, '(?m)^xref: UMLS:(\\S+)', 1)").alias("umls"),
+        )
+        .filter(F.length("kb_id") > 0)
+        .select(F.explode("umls").alias("umls_id"), "kb_id")
+        .dropDuplicates(["umls_id"])
+    )
+
+
+def medmentions_umls_to_hp(
+    ann: DataFrame, umls_to_hp: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """MedMentions annotations (kb_id = UMLS id) -> HP-linked annotations:
+    keep mentions whose UMLS id maps to an HP concept AND whose HP concept
+    has exactly one direct ancestor; output carries the ancestor as the
+    EvaNIL gold (annotations.py:285-295).  Two broadcast joins — the
+    mapping and the single-parent dim are KB-sized."""
+    sp = single_parent_dim(edges)
+    return (
+        ann.select("doc_id", "mention", F.col("kb_id").alias("umls_id"))
+        .join(F.broadcast(umls_to_hp), "umls_id")
+        .join(F.broadcast(sp), F.col("kb_id") == sp.child_id)
+        .select("doc_id", "mention", "kb_id", F.col("parent_id").alias("ancestor_id"))
+        .dropDuplicates(["doc_id", "mention"])
+    )
+
+
+# ---------------------------------------------------------------------------
 # CTD-style TSV KB (≙ KnowledgeBase.load_tsv, /root/reference/src/utils/kbs.py:144-199)
 # ---------------------------------------------------------------------------
 
@@ -246,13 +455,87 @@ def write_corpus_fixtures(spark: SparkSession, base: str, seed: int = 42, n_docs
         with open(os.path.join(xml_dir, f"xd{d}.xml"), "w") as f:
             f.write(f"<document>{anns}</document>")
 
+    # GSC+ style annotation dir: one file per doc, "span\tHP_id | mention"
+    gsc_dir = os.path.join(base, "gsc")
+    os.makedirs(gsc_dir, exist_ok=True)
+    for d in range(min(n_docs, 8)):
+        with open(os.path.join(gsc_dir, f"gd{d}"), "w") as f:
+            for _ in range(int(rng.integers(1, 4))):
+                c = concepts[int(rng.integers(0, 20))]
+                f.write(f"12::25\tHP_{c} | {words[int(rng.integers(0,8))]} {c.lower()}\n")
+
+    # PHAEDRA brat dirs: train/dev/test with .a1 files; N-rows carry MeSH
+    ph_dir = os.path.join(base, "phaedra")
+    for split in ("train", "dev", "test"):
+        os.makedirs(os.path.join(ph_dir, split), exist_ok=True)
+    n_phaedra_mesh = 0
+    for d in range(min(n_docs, 9)):
+        split = ("train", "dev", "test")[d % 3]
+        with open(os.path.join(ph_dir, split, f"phd{d}.a1"), "w") as f:
+            f.write(f"T1\tPharmacological_substance 0 5\tignored text\n")
+            for j in range(int(rng.integers(1, 4))):
+                c = concepts[int(rng.integers(0, 20))]
+                if rng.random() < 0.75:
+                    f.write(f"N{j}\tReference T1 MeSH:{c}\t{words[int(rng.integers(0,8))]} {c.lower()}\n")
+                    n_phaedra_mesh += 1
+                else:  # non-MeSH refs must be dropped by the reader
+                    f.write(f"N{j}\tReference T1 CHEBI:{c}\tdropped {c.lower()}\n")
+
+    # ChEBI patents: one dir per patent with scrapbook.xml; include the
+    # NIL triggers (missing id, WO-prefixed, comma-multivalued)
+    pat_dir = os.path.join(base, "patents")
+    for d in range(min(n_docs, 6)):
+        pd_dir = os.path.join(pat_dir, f"WO{d:04d}")
+        os.makedirs(pd_dir, exist_ok=True)
+        nes = []
+        for j in range(int(rng.integers(1, 5))):
+            r = rng.random()
+            if r < 0.5:
+                attr = f' chebi-id="CHEBI:{int(rng.integers(1, 99))}"'
+            elif r < 0.7:
+                attr = ' chebi-id="WO123"'
+            elif r < 0.85:
+                attr = ' chebi-id="CHEBI:1,CHEBI:2"'
+            else:
+                attr = ""
+            nes.append(f"<ne{attr}>{words[int(rng.integers(0,8))]} pat{d}x{j}</ne>")
+        with open(os.path.join(pd_dir, "scrapbook.xml"), "w") as f:
+            f.write(f"<scrapbook><snippet>{''.join(nes)}</snippet></scrapbook>")
+
+    # ChEBI 3-star TSV triple (relation / compounds / names)
+    rel_path = os.path.join(base, "relation_3star.tsv")
+    comp_path = os.path.join(base, "compounds_3star.tsv")
+    names_path = os.path.join(base, "names_3star.tsv")
+    n_chebi = 15
+    with open(rel_path, "w") as f:
+        for i in range(1, n_chebi):
+            f.write(f"r{i}\tis_a\t{i}\t{int(rng.integers(0, i))}\n")
+        f.write("rX\thas_part\t1\t2\n")  # non-is_a rows are ignored
+    with open(comp_path, "w") as f:
+        for i in range(n_chebi):
+            name = "null" if i == 3 else f"compound {i}"
+            f.write(f"x\ty\tCHEBI:{i}\tz\tw\t{name}\n")
+        f.write("x\ty\tCHEBI:999\tz\tw\tnot in relations\n")
+    with open(names_path, "w") as f:
+        for i in range(0, n_chebi, 2):
+            f.write(f"a\t{i}\tb\tc\tsyn {i}\n")
+        f.write("a\t999\tb\tc\tdropped syn\n")
+
     return {
         "tsv": tsv_path,
         "jsonl": jsonl_path,
         "pubtator": pub_path,
         "xml": xml_dir,
+        "gsc": gsc_dir,
+        "phaedra": ph_dir,
+        "patents": pat_dir,
+        "chebi_relations": rel_path,
+        "chebi_compounds": comp_path,
+        "chebi_names": names_path,
+        "n_chebi": n_chebi,
         "n_docs": n_docs,
         "n_jsonl_mentions": n_jsonl_mentions,
+        "n_phaedra_mesh": n_phaedra_mesh,
     }
 
 
@@ -366,6 +649,8 @@ def write_obo_fixture(path: str, seed: int = 7, n_terms: int = 30) -> dict:
             lines.append('synonym: "alt term %d" EXACT []' % i)
         if i == 5:
             lines.append('synonym: "term 4" EXACT []')  # collides with name of 4
+        if i % 5 == 2:
+            lines.append(f"xref: UMLS:C{i:06d}")  # HP-style UMLS xref
         if i % 11 == 10:
             lines.append("is_obsolete: true")
             n_obsolete += 1

@@ -128,3 +128,21 @@ def test_pairwise_f1_vs_gold_labels(pipeline_resolved, kb):
     recall = tp / (tp + fn) if tp + fn else 1.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 1.0
     assert f1 >= 0.99, f"gold pairwise F1 {f1:.4f} (tp={tp} fp={fp} fn={fn})"
+
+
+def test_functional_path_exposes_metrics(spark, kb, webtext_df):
+    """resolve() (the bench/entry fast path) must surface the same
+    no-silent-truncation metrics the checkpointed Pipeline writes."""
+    from nilinker_spark.pipeline import resolve
+
+    metrics = {}
+    resolved = resolve(spark, webtext_df, kb, metrics_out=metrics)
+    n = resolved.count()
+    assert set(metrics) == {"mention_metrics", "block_salt_metrics"}
+    mm = metrics["mention_metrics"]
+    # one row per distinct form; counts sum to the mention count
+    from pyspark.sql import functions as F
+
+    total = mm.agg(F.sum("count")).collect()[0][0]
+    assert total == n
+    assert metrics["block_salt_metrics"].columns == ["block_key", "members", "n_salts"]

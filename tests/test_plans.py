@@ -125,3 +125,46 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql("drop table if exists b_docs")
         spark.sql("drop table if exists b_stats")
+
+
+def test_scoring_broadcast_dropped_above_form_ceiling(spark):
+    """Above BROADCAST_MAX_FORMS the forced broadcast hint must disappear
+    (a 10^7-form x 200-dim pv broadcast would be ~8 GB per executor — a
+    scale-killer hiding behind a hint); below it, it must stay."""
+    from nilinker_spark.operators.scoring import BROADCAST_MAX_FORMS, score_pairs
+    from nilinker_spark.plans import explain_str
+
+    pairs = spark.createDataFrame([("a", "b")], "norm_a string, norm_b string")
+    pvs = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "norm string, pv array<float>"
+    )
+    small = score_pairs(pairs, pvs, n_forms=100)
+    assert has_broadcast_join(small)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = score_pairs(pairs, pvs, n_forms=BROADCAST_MAX_FORMS + 1)
+        # with the hint gone AND auto-broadcast off, the plan must fall
+        # through to a non-broadcast join (AQE would still be free to
+        # broadcast from runtime stats in production — that's the point:
+        # the decision belongs to stats, not a hard-coded hint)
+        assert not has_broadcast_join(big)
+        assert "SortMergeJoin" in explain_str(big) or "ShuffledHashJoin" in explain_str(big)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_cluster_assign_broadcast_conditional(spark):
+    from nilinker_spark.operators.clustering import assign_clusters
+    from nilinker_spark.operators.scoring import BROADCAST_MAX_FORMS
+
+    forms = spark.createDataFrame([("a",), ("b",)], "norm string")
+    labels = spark.createDataFrame([("a", "a")], "node string, label string")
+    assert has_broadcast_join(assign_clusters(forms, labels, n_forms=10))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert not has_broadcast_join(
+            assign_clusters(forms, labels, n_forms=BROADCAST_MAX_FORMS + 1)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")

@@ -44,3 +44,52 @@ def test_rerun_is_noop(spark, kb, webtext_df, tmp_path_factory):
     assert first.sort_values(key).reset_index(drop=True).equals(
         second.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_incremental_append_scores_only_new_forms(spark, kb, webtext_rows, tmp_path_factory):
+    """Cross-run incremental resume (≙ the reference's kb_cache,
+    REEL/pre_process.py:250-307): append docs, rerun — phrase_vecs grows
+    by exactly the never-seen forms, and the final clusters are identical
+    to a from-scratch run over the full corpus."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+        ]
+    )
+    rows1, rows2 = webtext_rows[: len(webtext_rows) // 2], webtext_rows[len(webtext_rows) // 2 :]
+    df1 = spark.createDataFrame(rows1, schema)
+    df2 = spark.createDataFrame(rows2, schema)
+    df_full = spark.createDataFrame(webtext_rows, schema)
+
+    ck_inc = str(tmp_path_factory.mktemp("ck_inc"))
+    pipe = Pipeline(spark, kb, ck_inc)
+    pipe.run(df1).count()
+    pv_before = spark.read.parquet(f"{ck_inc}/phrase_vecs")
+    forms_before = {r["norm"] for r in pv_before.select("norm").collect()}
+
+    inc = pipe.run_incremental(df2).toPandas()
+
+    pv_after = spark.read.parquet(f"{ck_inc}/phrase_vecs")
+    forms_after = {r["norm"] for r in pv_after.select("norm").collect()}
+    # appended rows == truly-new forms (recomputing old forms would
+    # duplicate them in the appended table)
+    assert pv_after.count() == len(forms_after)
+    assert forms_before <= forms_after
+
+    ck_scr = str(tmp_path_factory.mktemp("ck_scr"))
+    scratch = Pipeline(spark, kb, ck_scr).run(df_full).toPandas()
+
+    assert len(inc) == len(scratch)
+    key = ["url", "mention_id", "pos"]
+    a = inc.sort_values(key).reset_index(drop=True)
+    b = scratch.sort_values(key).reset_index(drop=True)
+    assert (a["cluster_id"].values == b["cluster_id"].values).all()
+    assert (a["norm"].values == b["norm"].values).all()
+    # the incremental run really saw new forms (the test is non-vacuous)
+    assert len(forms_after) > len(forms_before)

@@ -72,3 +72,99 @@ def test_xml_corpus(spark, fixtures):
     assert len(rows) > 0
     assert all(r["doc_id"].startswith("xd") for r in rows)
     assert all(r["kb_id"].startswith("MESH:") for r in rows)
+
+
+def test_gsc_corpus(spark, fixtures):
+    from nilinker_spark.sources.corpora import read_gsc_corpus
+
+    ann = read_gsc_corpus(spark, fixtures["gsc"])
+    rows = ann.collect()
+    assert len(rows) > 0
+    assert all(r["kb_id"].startswith("HP_") for r in rows)
+    assert all(not r["mention"].startswith(" ") for r in rows)
+    # doc_id is the bare file name
+    assert all(r["doc_id"].startswith("gd") for r in rows)
+    assert ann.groupBy("doc_id", "mention").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_phaedra_corpus(spark, fixtures):
+    from nilinker_spark.sources.corpora import read_phaedra_corpus
+
+    ann = read_phaedra_corpus(spark, fixtures["phaedra"])
+    rows = ann.collect()
+    assert len(rows) > 0
+    # MeSH: rewritten to MESH_; non-MeSH refs dropped entirely
+    assert all(r["kb_id"].startswith("MESH_") for r in rows)
+    assert not any(r["mention"].startswith("dropped") for r in rows)
+    # T-rows (non-normalization) never contribute
+    assert not any(r["mention"] == "ignored text" for r in rows)
+    assert all(r["doc_id"].startswith("phd") for r in rows)
+
+
+def test_chebi_patents_corpus(spark, fixtures):
+    from nilinker_spark.sources.corpora import read_chebi_patents_corpus
+
+    ann = read_chebi_patents_corpus(spark, fixtures["patents"])
+    rows = ann.collect()
+    assert len(rows) > 0
+    ids = {r["kb_id"] for r in rows}
+    # NIL triggers: missing id, WO-prefixed, comma-multivalued
+    assert "NIL" in ids
+    assert not any(i.startswith("WO") for i in ids)
+    assert not any("," in i for i in ids)
+    assert all(r["doc_id"].startswith("WO") for r in rows)
+
+
+def test_chebi_3star_three_table_join(spark, fixtures):
+    from nilinker_spark.sources.corpora import read_chebi_3star_kb
+
+    concepts, aliases, edges = read_chebi_3star_kb(
+        spark, fixtures["chebi_relations"], fixtures["chebi_compounds"], fixtures["chebi_names"]
+    )
+    n = fixtures["n_chebi"]
+    # non-is_a rows ignored; one edge per is_a row
+    assert edges.count() == n - 1
+    cset = {r["kb_id"] for r in concepts.collect()}
+    # 'null'-named compound excluded; compound outside the relation set excluded
+    assert "CHEBI:3" not in cset
+    assert "CHEBI:999" not in cset
+    assert cset <= {f"CHEBI:{i}" for i in range(n)}
+    syn = aliases.filter(F.col("is_synonym"))
+    assert syn.filter(F.col("alias") == "dropped syn").count() == 0
+    assert syn.count() > 0
+
+
+def test_umls_to_hp_chained_join(spark, tmp_path_factory):
+    from nilinker_spark.sources.corpora import (
+        read_obo_kb,
+        read_obo_umls_xrefs,
+        medmentions_umls_to_hp,
+        write_obo_fixture,
+    )
+
+    base = tmp_path_factory.mktemp("umls")
+    obo = str(base / "hp.obo")
+    write_obo_fixture(obo)
+    xrefs = read_obo_umls_xrefs(spark, obo)
+    xr = {r["umls_id"]: r["kb_id"] for r in xrefs.collect()}
+    assert xr, "fixture has UMLS xrefs"
+    assert all(v.startswith("KB:") for v in xr.values())
+
+    _, _, edges = read_obo_kb(
+        spark, obo
+    )
+    kb_edges = edges.withColumnRenamed("parent_id", "parent_id")
+    # annotations: two mapped UMLS ids (one whose HP term has 1 parent),
+    # one unmapped
+    umls_ids = sorted(xr)
+    ann = spark.createDataFrame(
+        [("d1", "m1", umls_ids[0]), ("d1", "m2", umls_ids[1]), ("d2", "m3", "C9999999")],
+        "doc_id string, mention string, kb_id string",
+    )
+    out = medmentions_umls_to_hp(ann, xrefs, kb_edges)
+    rows = out.collect()
+    # unmapped UMLS id never survives
+    assert all(r["kb_id"].startswith("KB:") for r in rows)
+    assert all(r["ancestor_id"] is not None for r in rows)
+    got_mentions = {r["mention"] for r in rows}
+    assert "m3" not in got_mentions
