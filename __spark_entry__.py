@@ -275,6 +275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_neardup_lsh"] = embedding_neardup_lsh
 
     # --- corpus ops: text analysis ----------------------------------------------
+    q["repetition_metrics"] = lambda spark, sf: C.repetition_metrics(_docs(spark, sf))
+    q["remove_stopwords"] = lambda spark, sf: C.remove_stopwords(_docs(spark, sf))
     q["text_quality"] = lambda spark, sf: C.text_quality(_docs(spark, sf))
     q["token_counts"] = lambda spark, sf: C.token_counts(_docs(spark, sf))
     q["lang_id"] = lambda spark, sf: C.lang_id(_docs(spark, sf))
@@ -553,6 +555,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
+def _er_cluster_values_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """Literal (norm, cluster_id) dim for the er_resolve oracle.
+
+    HYBRID check, stated plainly: the mention set is derived INDEPENDENTLY
+    in SQL (the er_extract_mentions twin), but cluster ids come from the
+    single-process reference implementation (oracle.cluster_forms — the
+    "reference clusters" the north rule gates on), embedded as a VALUES
+    table.  SQL cannot express the attention phrase vectors or the
+    iterative connected components, so this is the strongest honest gate:
+    Spark's full distributed pipeline vs the shared-scalar-function
+    Python reference, per-mention, hash-exact.  Pinned to the driver's
+    correctness scale (sf0.01); returns None if that data is absent.
+    """
+    try:
+        import duckdb
+
+        from nilinker_spark.functions.normalize import extract_text, norm_form
+        from nilinker_spark.oracle import cluster_forms, extract_mentions
+
+        docs = duckdb.sql(
+            f"select doc_id, text, lang from '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        gaz_rows = duckdb.sql(
+            "with base as (select string_split(text,' ') as toks from "
+            f"'{sf_dir}/documents.parquet'), "
+            "bg as (select array_to_string(toks[i:i+1], ' ') as s from base, "
+            "unnest(range(1, greatest(len(toks)-1,0)+1)) as r(i) where len(toks[i:i+1]) = 2) "
+            "select s from bg group by s order by count(*) desc, s asc limit 100"
+        ).fetchall()
+    except Exception:
+        return None
+    gazetteer = {r[0] for r in gaz_rows}
+    forms: set[str] = set()
+    for doc_id, text, lang in docs:
+        if lang != "en":
+            continue
+        extracted = extract_text(text.encode("utf-8"))
+        for _mid, surface, _pos in extract_mentions(f"doc://0/{doc_id}", extracted, gazetteer):
+            forms.add(norm_form(surface))
+    if not forms:
+        return None
+    clusters = cluster_forms(sorted(forms), make_kb(seed=42))
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ", ".join(f"({q(n)}, {q(c)})" for n, c in sorted(clusters.items()))
+    return f"(values {rows}) as c(norm, cluster_id)"
+
+
 def _lsh_sig_sql(vec_expr: str, n_planes: int = 8, dim: int = 64) -> str:
     """DuckDB twin of corpus.lsh_signature: the hyperplane weights are the
     SAME literal floats (repr round-trips a double exactly on both sides),
@@ -735,6 +787,26 @@ def oracle_sql() -> dict[str, str]:
         "(partition by query_id order by cos desc, vec_id asc) as rank from scored) "
         "select query_id, vec_id, cos, rank from r where rank <= 5"
     )
+    o["repetition_metrics"] = (
+        "with base as (select doc_id, string_split(text,' ') as toks from documents), "
+        "b as (select doc_id, array_to_string(toks[i:i+1], ' ') as g from base, "
+        "unnest(range(1, greatest(len(toks) - 1, 0) + 1)) as r(i) where len(toks[i:i+1]) = 2), "
+        "bc as (select doc_id, g, count(*) as c from b group by 1, 2), "
+        "bm as (select doc_id, round(max(c) / sum(c), 4) as top_bigram_frac from bc group by 1), "
+        "t as (select doc_id, array_to_string(toks[i:i+2], ' ') as g from base, "
+        "unnest(range(1, greatest(len(toks) - 2, 0) + 1)) as r(i) where len(toks[i:i+2]) = 3), "
+        "tc as (select doc_id, g, count(*) as c from t group by 1, 2), "
+        "tm as (select doc_id, round(1.0 - count(*) / sum(c), 4) as dup_trigram_frac from tc group by 1) "
+        "select doc_id, top_bigram_frac, dup_trigram_frac from bm join tm using (doc_id)"
+    )
+    o["remove_stopwords"] = (
+        "with base as (select doc_id, string_split(text,' ') as toks from documents), "
+        "k as (select doc_id, toks, list_filter(toks, t -> not list_contains("
+        "['the','a','an','of','and','to','in','is','was','for','on','that','with','as'], t)) as kept "
+        "from base) "
+        "select doc_id, array_to_string(kept, ' ') as clean_text, "
+        "cast(len(toks) - len(kept) as int) as n_removed from k"
+    )
     o["text_quality"] = (
         "with base as (select doc_id, text, string_split(text, ' ') as toks from documents), "
         "m as (select doc_id, text, len(toks) as n, "
@@ -903,6 +975,16 @@ def oracle_sql() -> dict[str, str]:
         "surface, cast(pos as int) as pos, nbigram as norm "
         "from res where (pos - run_start) % 2 = 0"
     )
+    # flagship end-to-end gate: SQL-derived mentions joined to the
+    # reference-implementation cluster dim (see _er_cluster_values_sql
+    # for exactly what is and is not independently recomputed here)
+    _cv = _er_cluster_values_sql()
+    if _cv is not None:
+        o["er_resolve"] = (
+            f"with em as ({o['er_extract_mentions']}) "
+            "select em.url, em.mention_id, em.surface, em.pos, em.norm, c.cluster_id "
+            f"from em join {_cv} using (norm)"
+        )
     o["eval_filter_top_pred"] = (
         "with q as (select vec_id as query_id, embedding as qe from embeddings where vec_id < 10), "
         "scored as (select q.query_id, e.vec_id, "

@@ -280,6 +280,47 @@ def ann_topk_lsh(
     )
 
 
+def _gram_strings(k: int) -> F.Column:
+    """Word k-grams of the text column as strings (non-distinct)."""
+    toks = tokens_col("text")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.filter(grams, lambda g: F.size(F.split(g, " ")) == k)
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """(doc_id, top_bigram_frac, dup_trigram_frac) — the Gopher-family
+    repetition gates (Rae et al. 2021, public): fraction of all word
+    bigrams taken by the single most frequent one, and the fraction of
+    trigram OCCURRENCES that are repeats.  Pure groupBy aggregations —
+    two shuffles keyed by (doc_id, gram), no UDFs, scale-safe."""
+    bi = docs.select("doc_id", F.explode(_gram_strings(2)).alias("g"))
+    bc = bi.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    bm = bc.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac")
+    )
+    tri = docs.select("doc_id", F.explode(_gram_strings(3)).alias("g"))
+    tc = tri.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    tm = tc.groupBy("doc_id").agg(
+        F.round(F.lit(1.0) - F.count("*") / F.sum("c"), 4).alias("dup_trigram_frac")
+    )
+    return bm.join(tm, "doc_id")
+
+
+def remove_stopwords(docs: DataFrame) -> DataFrame:
+    """(doc_id, clean_text, n_removed) — boilerplate/stopword strip, the
+    text-cleaning transform of a training-data pipeline, as pure column
+    expressions (array filter + join)."""
+    toks = tokens_col("text")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    kept = F.filter(toks, lambda t: ~F.array_contains(stop_arr, t))
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size(toks) - F.size(kept)).alias("n_removed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

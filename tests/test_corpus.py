@@ -140,3 +140,41 @@ def test_embedding_neardup_lsh_finds_neardups(spark):
     # LSH recall on planted near-dups >= 90%, and no false positives
     assert len(lsh & planted) >= int(0.9 * len(planted))
     assert lsh <= brute
+
+
+def test_repetition_metrics_gopher_gates(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b", "en", "s", 11),      # "a b" dominates
+            (1, "p q r s t u", "en", "s", 11),      # all grams unique
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    m = {r["doc_id"]: r for r in C.repetition_metrics(docs).collect()}
+    # doc0 bigrams: "a b","b a","a b","b a","a b" -> top "a b" 3/5
+    assert m[0]["top_bigram_frac"] == round(3 / 5, 4)
+    # doc0 trigrams: aba,bab,aba,bab -> 2 distinct of 4 occurrences
+    assert m[0]["dup_trigram_frac"] == 0.5
+    assert m[1]["top_bigram_frac"] == round(1 / 5, 4)
+    assert m[1]["dup_trigram_frac"] == 0.0
+
+
+def test_remove_stopwords(spark):
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat", "en", "s", 22)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = C.remove_stopwords(docs).collect()[0]
+    assert r["clean_text"] == "cat sat mat"
+    assert r["n_removed"] == 3
+
+
+def test_new_corpus_ops_no_python(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c a b", "en", "s", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from nilinker_spark.plans import has_python_stage
+
+    assert not has_python_stage(C.repetition_metrics(docs))
+    assert not has_python_stage(C.remove_stopwords(docs))
