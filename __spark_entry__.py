@@ -555,6 +555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
+_ER_CV_CACHE: dict[str, str | None] = {}
+
+
 def _er_cluster_values_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
     """Literal (norm, cluster_id) dim for the er_resolve oracle.
 
@@ -568,6 +571,8 @@ def _er_cluster_values_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
     Python reference, per-mention, hash-exact.  Pinned to the driver's
     correctness scale (sf0.01); returns None if that data is absent.
     """
+    if sf_dir in _ER_CV_CACHE:
+        return _ER_CV_CACHE[sf_dir]
     try:
         import duckdb
 
@@ -585,6 +590,7 @@ def _er_cluster_values_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
             "select s from bg group by s order by count(*) desc, s asc limit 100"
         ).fetchall()
     except Exception:
+        _ER_CV_CACHE[sf_dir] = None
         return None
     gazetteer = {r[0] for r in gaz_rows}
     forms: set[str] = set()
@@ -602,7 +608,9 @@ def _er_cluster_values_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
         return "'" + s.replace("'", "''") + "'"
 
     rows = ", ".join(f"({q(n)}, {q(c)})" for n, c in sorted(clusters.items()))
-    return f"(values {rows}) as c(norm, cluster_id)"
+    out = f"(values {rows}) as c(norm, cluster_id)"
+    _ER_CV_CACHE[sf_dir] = out
+    return out
 
 
 def _lsh_sig_sql(vec_expr: str, n_planes: int = 8, dim: int = 64) -> str:

@@ -100,6 +100,32 @@ def windowed_mention_counts(
     )
 
 
+def stream_resolve(
+    spark: SparkSession,
+    webtext_stream: DataFrame,
+    gazetteer: set[str],
+    clusters: DataFrame,
+) -> DataFrame:
+    """Incremental serving path: streaming mention extraction joined to a
+    STATIC cluster table (the batch pipeline's `clusters` checkpoint) —
+    a stream-static broadcast join, natively incremental in Structured
+    Streaming.  Forms never seen by the batch run resolve to themselves
+    (singleton clusters), exactly like `assign_clusters`; a periodic
+    batch `run_incremental` folds them in properly.
+    """
+    mentions = stream_mentions(spark, webtext_stream, gazetteer)
+    lab = clusters.select("norm", "cluster_id")
+    return mentions.join(F.broadcast(lab), "norm", "left").select(
+        "url",
+        "mention_id",
+        "surface",
+        "pos",
+        "norm",
+        F.coalesce("cluster_id", "norm").alias("cluster_id"),
+        "warc_ts",
+    )
+
+
 def run_stream_to_parquet(
     spark: SparkSession,
     input_path: str,

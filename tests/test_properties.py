@@ -69,3 +69,51 @@ def test_token_sort_order_invariant(tokens):
     for perm in itertools.permutations(tokens):
         assert token_sort_ratio(s1, " ".join(perm)) == 1.0
         break
+
+
+def _naive_extract(url, text, gazetteer):
+    """Round-1 greedy scan, no memo, no probe gates — the semantics the
+    optimized extract_mentions must reproduce exactly."""
+    from nilinker_spark.oracle import MAX_MENTION_TOKENS, mention_id
+
+    toks = text.split(" ")
+    norm_toks = [norm_form(t) for t in toks]
+    out = []
+    i, n = 0, len(toks)
+    while i < n:
+        matched = False
+        for length in range(min(MAX_MENTION_TOKENS, n - i), 0, -1):
+            if " ".join(norm_toks[i : i + length]) in gazetteer:
+                cand = " ".join(toks[i : i + length])
+                out.append((mention_id(url, i, cand), cand, i))
+                i += length
+                matched = True
+                break
+        if not matched:
+            i += 1
+    return out
+
+
+# adversarial alphabet: punctuation that normalizes away, ':' (maps to
+# '_' then to space -> multi-word tokens), digits, hyphens
+_adv_word = st.text(alphabet="ab1-.,':x ", min_size=1, max_size=8)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(_adv_word, min_size=0, max_size=30),
+    st.lists(_adv_word, min_size=1, max_size=8),
+)
+def test_extract_mentions_gates_are_exact(doc_words, gaz_surfaces):
+    """The memo + first-word + word-count probe gates only skip probes
+    that provably cannot match: output identical to the naive greedy scan
+    for ANY text and ANY normalized gazetteer — including tokens that
+    normalize to several words or to nothing."""
+    from nilinker_spark.oracle import extract_mentions
+
+    text = " ".join(doc_words)
+    gazetteer = {norm_form(s) for s in gaz_surfaces}
+    gazetteer.discard("")
+    want = _naive_extract("u", text, gazetteer)
+    got = extract_mentions("u", text, gazetteer, {}, None)
+    assert got == want

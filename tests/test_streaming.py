@@ -65,3 +65,37 @@ def test_windowed_counts_event_time(spark, gazetteer, webtext_path, tmp_path_fac
     assert (got["window_start"].dt.minute == 0).all()
     batch_total = extract_mentions_df(spark, spark.read.parquet(webtext_path), gazetteer).count()
     assert int(got["n"].sum()) == batch_total
+
+
+def test_stream_resolve_matches_batch_pipeline(
+    spark, kb, gazetteer, webtext_df, webtext_path, tmp_path_factory
+):
+    """Stream-static serving join: streaming extraction x the batch
+    cluster table == the batch pipeline's resolved output."""
+    from nilinker_spark.pipeline import resolve
+    from nilinker_spark.streaming.extract_stream import stream_resolve
+
+    batch = resolve(spark, webtext_df, kb, gazetteer=gazetteer)
+    batch_pd = batch.toPandas()
+    clusters = batch.select("norm", "cluster_id").distinct()
+
+    out_dir = str(tmp_path_factory.mktemp("sr_out"))
+    ck = str(tmp_path_factory.mktemp("sr_ck"))
+    stream = read_webtext_stream(spark, webtext_path)
+    resolved = stream_resolve(spark, stream, gazetteer, clusters)
+    q = (
+        resolved.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir).drop("warc_ts").toPandas()
+    key = ["url", "mention_id", "pos"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = batch_pd.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert (a["cluster_id"].values == b["cluster_id"].values).all()
