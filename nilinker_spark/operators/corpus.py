@@ -80,13 +80,28 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.05) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.05, persist_shingles: bool = True
+) -> DataFrame:
     """Candidate pairs via shared shingles + exact Jaccard over shingle sets.
 
     inter/union computed relationally (groupBy count), never materializing
     per-doc sets on the driver.  Output: (doc_a, doc_b, jaccard) rounded.
+
+    The shingle table feeds THREE subtrees (both join sides + the
+    per-doc sizes) and Spark does not reuse the exchange across them
+    (the per-side projections defeat canonicalization — verified on the
+    executed plan), so by default it is persisted: one corpus scan + one
+    shingle explosion instead of three.  At 100 TB the same decision
+    holds, with MEMORY_AND_DISK spilling the cold partitions; pass
+    ``persist_shingles=False`` to keep the operator allocation-free
+    (callers that persist/write the shingle table themselves).
     """
+    from pyspark import StorageLevel
+
     sh = shingles(docs, k)
+    if persist_shingles:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -117,14 +132,22 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 6) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 6, band_size: int = 2) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame, n_hashes: int = 6, band_size: int = 2, persist_bands: bool = True
+) -> DataFrame:
     """MinHash + LSH banding: docs colliding on any band are candidates.
 
     band key = (band_id, concat of the band's minhashes); the band join is
     an equi-join on that key — the classic shingle→minhash→band→bucket-join
     plan that replaces an O(n²) similarity scan at scale.
     Output: distinct candidate (doc_a, doc_b).
+
+    The banded-signature table feeds both join sides; like
+    :func:`ngram_jaccard_pairs` it is persisted by default so the
+    shingle→minhash chain (the expensive part) runs once, not twice.
     """
+    from pyspark import StorageLevel
+
     sig = minhash_signatures(docs, n_hashes)
     banded = (
         sig.withColumn("band", F.floor(F.col("hash_id") / band_size).cast("int"))
@@ -133,6 +156,8 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 6, band_size: int = 2) ->
         .withColumn("band_key", F.concat_ws("|", F.transform(F.col("sig"), lambda s: s["minhash"])))
         .select("doc_id", "band", "band_key")
     )
+    if persist_bands:
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (
@@ -292,19 +317,35 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
     """(doc_id, top_bigram_frac, dup_trigram_frac) — the Gopher-family
     repetition gates (Rae et al. 2021, public): fraction of all word
     bigrams taken by the single most frequent one, and the fraction of
-    trigram OCCURRENCES that are repeats.  Pure groupBy aggregations —
-    two shuffles keyed by (doc_id, gram), no UDFs, scale-safe."""
-    bi = docs.select("doc_id", F.explode(_gram_strings(2)).alias("g"))
-    bc = bi.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-    bm = bc.groupBy("doc_id").agg(
-        F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac")
+    trigram OCCURRENCES that are repeats.
+
+    ONE corpus scan: bigrams and trigrams explode together as tagged
+    (k, gram) structs, both metrics come out of one groupBy chain with
+    conditional aggregation — no self-join of two separately-scanned agg
+    trees.  Docs lacking either gram kind are dropped (same semantics as
+    an inner join of the two metrics)."""
+    tagged = F.concat(
+        F.transform(_gram_strings(2), lambda g: F.struct(F.lit(2).alias("k"), g.alias("g"))),
+        F.transform(_gram_strings(3), lambda g: F.struct(F.lit(3).alias("k"), g.alias("g"))),
     )
-    tri = docs.select("doc_id", F.explode(_gram_strings(3)).alias("g"))
-    tc = tri.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-    tm = tc.groupBy("doc_id").agg(
-        F.round(F.lit(1.0) - F.count("*") / F.sum("c"), 4).alias("dup_trigram_frac")
+    grams = docs.select("doc_id", F.explode(tagged).alias("e")).select(
+        "doc_id", F.col("e.k").alias("k"), F.col("e.g").alias("g")
     )
-    return bm.join(tm, "doc_id")
+    gc = grams.groupBy("doc_id", "k", "g").agg(F.count("*").alias("c"))
+    two = F.when(F.col("k") == 2, F.col("c"))
+    three = F.when(F.col("k") == 3, F.col("c"))
+    return (
+        gc.groupBy("doc_id")
+        .agg(
+            F.round(F.max(two) / F.sum(two), 4).alias("top_bigram_frac"),
+            F.round(
+                F.lit(1.0) - F.count(three) / F.sum(three), 4
+            ).alias("dup_trigram_frac"),
+        )
+        .filter(
+            F.col("top_bigram_frac").isNotNull() & F.col("dup_trigram_frac").isNotNull()
+        )
+    )
 
 
 def remove_stopwords(docs: DataFrame) -> DataFrame:
