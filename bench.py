@@ -17,9 +17,9 @@ runnable, so local[k] needs ~2k cores to run unsquashed.  On this 32-core
 box both levels of the 2→8 pair fit (4 and 16 runnable threads) — like a
 real cluster, where each executor's cores are its own.  8→32 would need
 64 runnable threads on 32 cores: it measures hardware oversubscription,
-not the engine.  local[32] is still measured and reported as a third
-curve point (``er_curve``), so nothing is hidden — see BASELINE.md
-"Scaling-efficiency analysis".
+not the engine.  The local[32] point is opt-in (SPARK_GRAFT_CURVE32=1,
+wall-clock budget) — measured values for the full 2/8/32 curve are
+recorded in BASELINE.md "Graft measurements — round 2".
 """
 
 from __future__ import annotations
@@ -35,11 +35,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 LO_CPUS = int(os.environ.get("SPARK_GRAFT_LO_CPUS", "2"))
 HI_CPUS = int(os.environ.get("SPARK_GRAFT_HI_CPUS", "8"))
-# 960 x 5000 docs = 4.8M docs per timed run: extraction (the corpus-sized
+# 720 x 5000 docs = 3.6M docs per timed run: extraction (the corpus-sized
 # stage, >>99% of the work at real scale) dominates the vocabulary-sized
 # fixed stage latency (~4 s of scheduler round-trips on 100 forms), the
-# same ratio a production corpus has.
-ER_REPLICATE = int(os.environ.get("SPARK_GRAFT_ER_REPLICATE", "960"))
+# same ratio a production corpus has — sized so two interleaved rounds
+# still fit the wall-clock budget.
+ER_REPLICATE = int(os.environ.get("SPARK_GRAFT_ER_REPLICATE", "720"))
 ER_RUNS = int(os.environ.get("SPARK_GRAFT_ER_RUNS", "1"))
 
 
@@ -73,7 +74,10 @@ def _run_er(spark) -> tuple[int, float]:
     gazetteer = gazetteer_from_documents(docs)
     kb = make_kb(seed=42)
 
-    warm = webtext_from_documents(docs, replicate=1)
+    # in-process warm: large enough to JIT/codegen-compile the whole
+    # pipeline shape to steady state (replicate=1 was measured too small —
+    # the first timed run then carries ~2x warm-up cost)
+    warm = webtext_from_documents(docs, replicate=max(1, ER_REPLICATE // 30))
     resolve(spark, warm, kb, gazetteer=gazetteer).count()
 
     webtext = webtext_from_documents(docs, replicate=ER_REPLICATE).localCheckpoint(eager=True)
@@ -87,13 +91,15 @@ def _run_er(spark) -> tuple[int, float]:
     return n_docs, best
 
 
-def _er_subprocess(cpus: int) -> dict:
+def _er_subprocess(cpus: int, replicate: int | None = None) -> dict:
     """Run the scaling measurement in a fresh interpreter (local-mode Spark
     shares the driver JVM; back-to-back sessions in one process inherit
     heap garbage and skew the comparison)."""
     import subprocess
 
     env = {**os.environ}
+    if replicate is not None:
+        env["SPARK_GRAFT_ER_REPLICATE"] = str(replicate)
     # the timed job checkpoints the mentions table in the block manager;
     # size the heap so neither level is GC-bound (the box has 128 GiB),
     # and put shuffle/spill on tmpfs so disk flush latency from the
@@ -112,7 +118,12 @@ def _er_subprocess(cpus: int) -> dict:
     import shutil
 
     if shutil.which("taskset"):
-        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        # start at core 2 when the box allows: core 0 (and its HT sibling)
+        # carries IRQ/housekeeping load on typical hosts — both levels
+        # should measure on equally-quiet cores
+        ncpu = os.cpu_count() or cpus
+        start = 2 if cpus + 2 <= ncpu else 0
+        cmd = ["taskset", "-c", f"{start}-{start + cpus - 1}"] + cmd
     out = subprocess.check_output(
         cmd,
         env=env,
@@ -134,25 +145,30 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    # --- scaling evidence first: same ER job at three parallelism levels,
-    # each in a fresh JVM.  Protocol against the two measured noise modes:
+    # --- scaling evidence first: same ER job at two parallelism levels,
+    # each in a fresh JVM, each taskset-pinned to exactly its cores.
+    # Protocol against the measured noise modes (see BASELINE.md):
     # 1. HOST warm-up (page cache / cpufreq): the first ~60-90 s of Spark
     #    work after an idle period runs ~30-40% slow and the speedup
-    #    persists ACROSS processes — so one discarded throwaway run first.
-    # 2. multi-minute noise periods: interleaved rounds + best-per-level.
-    # Headline pair = LO->HI (N vs 4N, both unsquashed on this box);
-    # CPUS (=32, oversubscribed 2x during Arrow stages) is the third
-    # curve point, measured last.
-    _er_subprocess(HI_CPUS)  # host warm-up, not recorded
-    levels = [LO_CPUS, HI_CPUS] + ([CPUS] if CPUS not in (LO_CPUS, HI_CPUS) else [])
+    #    persists ACROSS processes — one discarded throwaway run first.
+    # 2. within-JVM warm-up: each subprocess runs a large untimed pass.
+    # 3. multi-minute noise periods hit levels non-uniformly (one slow
+    #    period measured 0.69 where quiet periods measure 0.81-0.85):
+    #    order-alternated interleaved rounds, best-per-level — the only
+    #    mitigation that works against nonuniform noise.
+    # Set SPARK_GRAFT_CURVE32=1 to also measure the local[32] point (2x
+    # oversubscribed; see BASELINE.md for recorded curve values).
+    _er_subprocess(HI_CPUS, replicate=max(1, ER_REPLICATE // 2))  # host warm, discarded
+    levels = [LO_CPUS, HI_CPUS]
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     for order in ((HI_CPUS, LO_CPUS), (LO_CPUS, HI_CPUS)):
         for c in order:
             runs[c].append(_er_subprocess(c))
-    if CPUS in runs and not runs[CPUS]:
-        runs[CPUS].append(_er_subprocess(CPUS))
+    if os.environ.get("SPARK_GRAFT_CURVE32") and CPUS not in runs:
+        levels.append(CPUS)
+        runs[CPUS] = [_er_subprocess(CPUS)]
     n_docs = runs[LO_CPUS][0]["docs"]
-    thr = {c: max(n_docs / r["sec"] for r in runs[c]) for c in levels if runs[c]}
+    thr = {c: max(n_docs / r["sec"] for r in runs[c]) for c in levels if runs.get(c)}
     thr_lo, thr_hi = thr[LO_CPUS], thr[HI_CPUS]
     efficiency = (thr_hi / thr_lo) / (HI_CPUS / LO_CPUS)
 
@@ -211,8 +227,8 @@ def main() -> None:
         "lo_cpus": LO_CPUS,
         "hi_cpus": HI_CPUS,
         "scaling_efficiency": round(efficiency, 3),
-        # full curve incl. the oversubscribed local[32] point (64 runnable
-        # threads on 32 cores during Arrow stages — see module docstring)
+        # measured levels (local[32] appears when SPARK_GRAFT_CURVE32=1;
+        # see BASELINE.md for the recorded full curve)
         "er_curve_docs_per_sec": {str(c): round(thr[c], 1) for c in levels if c in thr},
     }
     print(json.dumps(out))

@@ -25,6 +25,13 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="resolved-mentions output parquet dir")
     ap.add_argument("--tau", type=float, default=None, help="edge threshold override")
     ap.add_argument("--stop-after", default=None, help="stop after this stage (resume test hook)")
+    ap.add_argument(
+        "--incremental",
+        action="store_true",
+        help="treat --input as an APPEND to a completed run at --checkpoint: "
+        "only new documents are scanned and only never-seen forms are "
+        "scored (Pipeline.run_incremental); clusters equal a from-scratch run",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -40,7 +47,10 @@ def main() -> None:
     kb = make_kb(seed=42)
     pipe = Pipeline(spark, kb, args.checkpoint, tau=args.tau if args.tau is not None else TAU)
     webtext = spark.read.parquet(args.input)
-    resolved = pipe.run(webtext, stop_after=args.stop_after)
+    if args.incremental:
+        resolved = pipe.run_incremental(webtext)
+    else:
+        resolved = pipe.run(webtext, stop_after=args.stop_after)
     if resolved is not None:
         resolved.write.mode("overwrite").parquet(args.output)
         print(f"resolved written to {args.output}")

@@ -143,6 +143,9 @@ def extract_mentions_relational(
 
     raw_ntoks = F.transform(F.col("toks"), _norm_tok)
     multiword = F.exists(raw_ntoks, lambda t: t.contains(" "))
+    # branches MUST differ: Catalyst simplifies when(c, x).otherwise(x) to
+    # x, silently deleting the assert (a test proves the guard fires) —
+    # the otherwise branch is unreachable because assert_true raises first
     guarded_ntoks = F.when(
         F.assert_true(
             ~multiword,
@@ -152,7 +155,7 @@ def extract_mentions_relational(
             ),
         ).isNull(),
         raw_ntoks,
-    ).otherwise(raw_ntoks)
+    ).otherwise(F.array(F.lit("")))
     base = (
         webtext.filter(F.col("lang") == "en")
         .select("url", extract_text_col(F.col("html")).alias("text"))

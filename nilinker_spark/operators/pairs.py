@@ -48,8 +48,12 @@ def candidate_pairs(
     """(norm, block_key) -> distinct (norm_a, norm_b), norm_a < norm_b.
 
     Returns (pairs, salt_metrics)."""
-    sizes = blocked.groupBy("block_key").agg(F.count("*").alias("members"))
-    b = blocked.join(sizes, "block_key")
+    # block sizes via an unbounded window, not groupBy+self-join: one
+    # exchange on block_key instead of two plus a join — this sits on the
+    # flagship's fixed-latency path (vocabulary-sized, every run)
+    b = blocked.withColumn(
+        "members", F.count("*").over(Window.partitionBy("block_key"))
+    )
 
     cold = b.filter(F.col("members") <= max_block).select("block_key", "norm")
     hot = b.filter(F.col("members") > max_block).select("block_key", "norm", "members")

@@ -217,6 +217,8 @@ class Pipeline:
         pvs = stage("phrase_vecs", lambda: phrase_vectors_df(self.spark, forms, self.kb))
         if stop_after == "phrase_vecs":
             return None
+        # parquet-metadata count — powers the conditional broadcast hints
+        n_forms = pvs.count()
 
         def build_pairs() -> DataFrame:
             blocked = block_keys_df(pvs.select("norm"))
@@ -232,7 +234,7 @@ class Pipeline:
         if stop_after == "pairs":
             return None
 
-        scored = stage("scored", lambda: score_pairs(pairs, pvs, self.alpha))
+        scored = stage("scored", lambda: score_pairs(pairs, pvs, self.alpha, n_forms=n_forms))
         if stop_after == "scored":
             return None
 
@@ -242,15 +244,17 @@ class Pipeline:
 
         def build_clusters() -> DataFrame:
             labels = connected_components(edges)
-            return assign_clusters(pvs.select("norm"), labels)
+            return assign_clusters(pvs.select("norm"), labels, n_forms=n_forms)
 
         clusters = stage("clusters", build_clusters)
         if stop_after == "clusters":
             return None
 
+        from nilinker_spark.operators.scoring import _maybe_broadcast
+
         resolved = stage(
             "resolved",
-            lambda: mentions.join(F.broadcast(clusters), "norm").select(
+            lambda: mentions.join(_maybe_broadcast(clusters, n_forms), "norm").select(
                 "url", "mention_id", "surface", "pos", "norm", "cluster_id"
             ),
         )
@@ -298,17 +302,22 @@ class Pipeline:
         mentions = self._load("mentions")
         self._checkpoint("mention_metrics", salted_count(mentions, "norm"))
         pvs = self._load("phrase_vecs")
+        n_forms = pvs.count()
         blocked = block_keys_df(pvs.select("norm"))
         pairs, salt_metrics = candidate_pairs(blocked, self.max_block)
         self._checkpoint("block_salt_metrics", salt_metrics)
         pairs = self._checkpoint("pairs", pairs)
-        scored = self._checkpoint("scored", score_pairs(pairs, pvs, self.alpha))
+        scored = self._checkpoint("scored", score_pairs(pairs, pvs, self.alpha, n_forms=n_forms))
         edges = self._checkpoint("edges", similarity_edges(scored, self.tau))
         labels = connected_components(edges)
-        clusters = self._checkpoint("clusters", assign_clusters(pvs.select("norm"), labels))
+        clusters = self._checkpoint(
+            "clusters", assign_clusters(pvs.select("norm"), labels, n_forms=n_forms)
+        )
+        from nilinker_spark.operators.scoring import _maybe_broadcast
+
         return self._checkpoint(
             "resolved",
-            mentions.join(F.broadcast(clusters), "norm").select(
+            mentions.join(_maybe_broadcast(clusters, n_forms), "norm").select(
                 "url", "mention_id", "surface", "pos", "norm", "cluster_id"
             ),
         )

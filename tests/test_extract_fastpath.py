@@ -54,3 +54,25 @@ def test_fastpath_rejects_non_bigram_gazetteer(spark, derived):
     webtext, _ = derived
     with pytest.raises(AssertionError):
         extract_mentions_relational(spark, webtext, {"single"})
+
+
+def test_relational_guard_fires_on_multiword_normalization(spark):
+    """A raw token that normalizes to two words ('foo.bar' -> 'foo bar')
+    breaks the bigram-join equivalence; the relational path must raise
+    loudly (in-plan assert), never silently diverge.  Also guards against
+    Catalyst simplifying the equal-branch when() that carries the
+    assert."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from nilinker_spark.operators.extract import extract_mentions_relational
+
+    rows = [("u1", None, b"foo.bar baz", "foo.bar baz", "en")]
+    webtext = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    gaz = {"foo bar"}
+    df = extract_mentions_relational(spark, webtext, gaz)
+    with pytest.raises(Exception) as exc:
+        df.collect()
+    assert "extract_mentions_relational" in str(exc.value)
