@@ -57,3 +57,69 @@ def test_first_seen_across_batches_and_restarts(spark, kb, webtext_df, tmp_path_
     )
     assert n2 == all_forms
     assert n2 >= n1
+
+
+class _FakeState:
+    """Minimal GroupState double for unit-testing the handler logic."""
+
+    def __init__(self, exists=False, timed_out=False):
+        self._exists = exists
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.updated = None
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._exists
+
+    def remove(self):
+        self.removed = True
+
+    def update(self, v):
+        self.updated = v
+        self._exists = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def _batch(mids_urls):
+    import pandas as pd
+
+    return iter([pd.DataFrame({"mention_id": [m for m, _ in mids_urls], "url": [u for _, u in mids_urls]})])
+
+
+def test_ttl_handler_semantics():
+    """The TTL policy: timeout -> state forgotten (next sighting re-emits);
+    every sighting re-arms the clock; no-TTL never sets a timeout."""
+    from nilinker_spark.streaming.stateful import make_emit_first
+
+    fn = make_emit_first(ttl_ms=60_000)
+
+    # first sighting: emits, arms TTL
+    st = _FakeState()
+    out = list(fn(("form a",), _batch([("m2", "u2"), ("m1", "u1")]), st))
+    assert len(out) == 1 and out[0]["first_mention_id"][0] == "m1"  # min mid
+    assert st.updated == (1,) and st.timeout_set == 60_000
+
+    # later sighting while state live: drops, re-arms
+    st = _FakeState(exists=True)
+    out = list(fn(("form a",), _batch([("m3", "u3")]), st))
+    assert out == [] and st.timeout_set == 60_000
+
+    # timeout fired: state removed, nothing emitted
+    st = _FakeState(exists=True, timed_out=True)
+    out = list(fn(("form a",), _batch([]), st))
+    assert out == [] and st.removed
+
+    # after removal a new sighting emits again (fresh state)
+    st = _FakeState()
+    out = list(fn(("form a",), _batch([("m9", "u9")]), st))
+    assert len(out) == 1
+
+    # no-TTL handler never touches the timeout clock
+    fn0 = make_emit_first(None)
+    st = _FakeState()
+    list(fn0(("form a",), _batch([("m1", "u1")]), st))
+    assert st.timeout_set is None
