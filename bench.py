@@ -158,10 +158,22 @@ def main() -> None:
     #    mitigation that works against nonuniform noise.
     # Set SPARK_GRAFT_CURVE32=1 to also measure the local[32] point (2x
     # oversubscribed; see BASELINE.md for recorded curve values).
+    #
+    # Wall-clock budget: slow-host periods inflate every run 30-40%; the
+    # scaling section guarantees ONE interleaved round (one draw per
+    # level), then adds the second round only while under budget —
+    # bounded completion beats a richer sample that risks an external
+    # timeout mid-flight.  Whole-round admission only: per-level
+    # asymmetric draw counts would bias the best-of ratio.
+    t_scaling0 = time.monotonic()
+    budget_s = int(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "360"))
+
     _er_subprocess(HI_CPUS, replicate=max(1, ER_REPLICATE // 2))  # host warm, discarded
     levels = [LO_CPUS, HI_CPUS]
     runs: dict[int, list[dict]] = {c: [] for c in levels}
-    for order in ((HI_CPUS, LO_CPUS), (LO_CPUS, HI_CPUS)):
+    for i, order in enumerate(((HI_CPUS, LO_CPUS), (LO_CPUS, HI_CPUS))):
+        if i > 0 and time.monotonic() - t_scaling0 > budget_s:
+            break  # whole-round admission: never asymmetric draw counts
         for c in order:
             runs[c].append(_er_subprocess(c))
     if os.environ.get("SPARK_GRAFT_CURVE32") and CPUS not in runs:
