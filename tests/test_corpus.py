@@ -178,3 +178,28 @@ def test_new_corpus_ops_no_python(spark):
 
     assert not has_python_stage(C.repetition_metrics(docs))
     assert not has_python_stage(C.remove_stopwords(docs))
+
+
+def test_lsh_signature_dim_mismatch_raises(spark):
+    """A vector whose length != dim must fail loudly, not silently hash
+    into the all-zeros bucket (the null-poisoned fold failure mode)."""
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 16), (1, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    df = C.embedding_neardup_lsh(emb, threshold=0.0, dim=16)
+    with pytest.raises(Exception) as exc:
+        df.collect()
+    assert "lsh_signature" in str(exc.value)
+
+
+def test_repetition_metrics_two_token_doc_dropped(spark):
+    """A doc with bigrams but no trigrams is dropped — the same semantics
+    as the old inner join of the two metric tables (and the oracle)."""
+    docs = spark.createDataFrame(
+        [(0, "a b", "en", "s", 3), (1, "a b c d", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["doc_id"] for r in C.repetition_metrics(docs).collect()}
+    assert rows == {1}
