@@ -13,6 +13,7 @@ exact, not approximate.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -986,7 +987,9 @@ def oracle_sql() -> dict[str, str]:
     # flagship end-to-end gate: SQL-derived mentions joined to the
     # reference-implementation cluster dim (see _er_cluster_values_sql
     # for exactly what is and is not independently recomputed here)
-    _cv = _er_cluster_values_sql()
+    _cv = _er_cluster_values_sql(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    )
     if _cv is not None:
         o["er_resolve"] = (
             f"with em as ({o['er_extract_mentions']}) "

@@ -42,6 +42,11 @@ def value_hash(df: pd.DataFrame) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # the er_resolve oracle embeds a reference-cluster dim computed from a
+    # concrete sf dir — point it at the one being checked
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
