@@ -60,7 +60,8 @@ def read_jsonl_corpus(spark: SparkSession, path: str, parents: DataFrame) -> Dat
             F.col("m.mention").alias("mention"),
             F.concat(F.lit("MESH:"), F.col("m.mesh_id")).alias("kb_id"),
         )
-        .dropDuplicates(["doc_id", "mention"])
+        .groupBy("doc_id", "mention")
+        .agg(F.min("kb_id").alias("kb_id"))
     )
     return ann.join(F.broadcast(parents), ann.kb_id == parents.child_id, "inner").select(
         "doc_id", "mention", "kb_id", F.col("parent_id").alias("ancestor_id")
@@ -97,7 +98,8 @@ def read_pubtator_corpus(spark: SparkSession, path: str) -> DataFrame:
             .alias("kb_id"),
         )
         .filter(F.col("mention").isNotNull() & F.col("kb_id").isNotNull())
-        .dropDuplicates(["doc_id", "mention"])
+        .groupBy("doc_id", "mention")
+        .agg(F.min("kb_id").alias("kb_id"))
         .withColumn("ancestor_id", F.lit(None).cast("string"))
     )
 
@@ -136,7 +138,8 @@ def read_xml_corpus(spark: SparkSession, path: str) -> DataFrame:
 
     return (
         files.mapInPandas(parse, "doc_id string, mention string, kb_id string")
-        .dropDuplicates(["doc_id", "mention"])
+        .groupBy("doc_id", "mention")
+        .agg(F.min("kb_id").alias("kb_id"))
         .withColumn("ancestor_id", F.lit(None).cast("string"))
     )
 
@@ -167,7 +170,9 @@ def read_gsc_corpus(spark: SparkSession, path: str) -> DataFrame:
             ),
         )
         .filter(F.col("mention").isNotNull() & (F.length("kb_id") > 0))
-        .dropDuplicates(["doc_id", "mention"])
+        # deterministic survivor when one (doc, mention) carries several ids
+        .groupBy("doc_id", "mention")
+        .agg(F.min("kb_id").alias("kb_id"))
         .withColumn("ancestor_id", F.lit(None).cast("string"))
     )
 
@@ -201,7 +206,8 @@ def read_phaedra_corpus(spark: SparkSession, path: str) -> DataFrame:
             "mention",
             F.regexp_replace("kb_ref", "^MeSH:", "MESH_").alias("kb_id"),
         )
-        .dropDuplicates(["doc_id", "mention"])
+        .groupBy("doc_id", "mention")
+        .agg(F.min("kb_id").alias("kb_id"))
         .withColumn("ancestor_id", F.lit(None).cast("string"))
     )
 
@@ -248,7 +254,8 @@ def read_chebi_patents_corpus(spark: SparkSession, path: str) -> DataFrame:
 
     return (
         files.mapInPandas(parse, "doc_id string, mention string, kb_id string")
-        .dropDuplicates(["doc_id", "mention"])
+        .groupBy("doc_id", "mention")
+        .agg(F.min("kb_id").alias("kb_id"))
         .withColumn("ancestor_id", F.lit(None).cast("string"))
     )
 
@@ -288,8 +295,9 @@ def read_chebi_3star_kb(
         comp.filter(F.col("name") != "null")
         .join(F.broadcast(terms), "kb_id")
         .select("kb_id", "name")
+        .groupBy("kb_id")
+        .agg(F.min("name").alias("name"))
         .withColumn("is_root", F.lit(False))
-        .dropDuplicates(["kb_id"])
     )
 
     names = spark.read.csv(names_path, sep="\t").toDF("n0", "cid", "n2", "n3", "alias")
@@ -302,7 +310,11 @@ def read_chebi_3star_kb(
     aliases = (
         concepts.select(F.col("name").alias("alias"), "kb_id", F.lit(False).alias("is_synonym"))
         .unionByName(syns)
-        .dropDuplicates(["alias", "kb_id"])
+        # min(False) < min(True): when the same (alias, kb_id) is both a
+        # concept name and a synonym, the concept-name row survives —
+        # deterministic under any partitioning (dropDuplicates is not)
+        .groupBy("alias", "kb_id")
+        .agg(F.min("is_synonym").alias("is_synonym"))
     )
     return concepts, aliases, edges
 
@@ -328,7 +340,8 @@ def read_obo_umls_xrefs(spark: SparkSession, path: str) -> DataFrame:
         )
         .filter(F.length("kb_id") > 0)
         .select(F.explode("umls").alias("umls_id"), "kb_id")
-        .dropDuplicates(["umls_id"])
+        .groupBy("umls_id")
+        .agg(F.min("kb_id").alias("kb_id"))
     )
 
 
@@ -346,7 +359,10 @@ def medmentions_umls_to_hp(
         .join(F.broadcast(umls_to_hp), "umls_id")
         .join(F.broadcast(sp), F.col("kb_id") == sp.child_id)
         .select("doc_id", "mention", "kb_id", F.col("parent_id").alias("ancestor_id"))
-        .dropDuplicates(["doc_id", "mention"])
+        # paired min keeps (kb_id, ancestor_id) from the SAME source row
+        .groupBy("doc_id", "mention")
+        .agg(F.min(F.struct("kb_id", "ancestor_id")).alias("s"))
+        .select("doc_id", "mention", "s.kb_id", "s.ancestor_id")
     )
 
 
@@ -372,7 +388,13 @@ def read_ctd_tsv_kb(spark: SparkSession, path: str) -> tuple[DataFrame, DataFram
         .filter(F.length("alias") > 0)
         .withColumn("is_synonym", F.lit(True))
     )
-    aliases = names.unionByName(syns).dropDuplicates(["alias", "kb_id"])
+    # min(False) < min(True): concept-name row survives a (alias, kb_id)
+    # collision deterministically (same rule as read_chebi_3star_kb)
+    aliases = (
+        names.unionByName(syns)
+        .groupBy("alias", "kb_id")
+        .agg(F.min("is_synonym").alias("is_synonym"))
+    )
     edges = (
         raw.filter(F.col("parents").isNotNull())
         .select(F.col("kb_id").alias("child_id"), F.explode(F.split("parents", "\\|")).alias("parent_id"))

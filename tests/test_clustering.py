@@ -63,3 +63,43 @@ def test_cc_matches_union_find_random(spark):
         uf.union(a, b)
     want = {n: uf.find(n) for n in {x for e in edges for x in e}}
     assert lab == want
+
+
+def test_cc_driver_vs_distributed_paths(spark):
+    """Forced-path parity: the driver-side union-find fast path and the
+    distributed alternating-star loop must label random graphs identically."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    nodes = [f"n{i:03d}" for i in range(80)]
+    for trial in range(4):
+        edges = []
+        for _ in range(int(rng.integers(5, 90))):
+            a, b = rng.integers(0, 80, size=2)
+            edges.append((nodes[a], nodes[b]))  # self-loops allowed
+        df = spark.createDataFrame(edges, "src string, dst string")
+        fast = {
+            (r["node"], r["label"])
+            for r in connected_components(df, driver_max_edges=10**6).collect()
+        }
+        dist = {
+            (r["node"], r["label"])
+            for r in connected_components(df, driver_max_edges=0).collect()
+        }
+        assert fast == dist, f"trial {trial}: paths disagree"
+
+
+def test_cc_self_loops_only(spark):
+    """Self-loop-only nodes get NO label on either path (the caller's
+    coalesce makes them singletons)."""
+    df = spark.createDataFrame([("a", "a"), ("b", "b")], "src string, dst string")
+    assert connected_components(df, driver_max_edges=10**6).count() == 0
+    assert connected_components(df, driver_max_edges=0).count() == 0
+
+
+def test_cc_probe_overflow_falls_through(spark):
+    """More edges than the driver threshold -> distributed path, same labels."""
+    edges = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(30)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    lab = {r["node"]: r["label"] for r in connected_components(df, driver_max_edges=5).collect()}
+    assert set(lab.values()) == {"n00"} and len(lab) == 31

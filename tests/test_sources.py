@@ -168,3 +168,32 @@ def test_umls_to_hp_chained_join(spark, tmp_path_factory):
     assert all(r["ancestor_id"] is not None for r in rows)
     got_mentions = {r["mention"] for r in rows}
     assert "m3" not in got_mentions
+
+
+def test_duplicate_payload_survivor_is_deterministic(spark, tmp_path_factory):
+    """When one dedup key carries several payload values, the survivor is
+    the MIN (never partition-order-dependent dropDuplicates)."""
+    from nilinker_spark.sources.corpora import read_gsc_corpus
+
+    base = tmp_path_factory.mktemp("gsc_dup")
+    # same (doc, mention) annotated with two ids -> min id must survive
+    (base / "doc1").write_text("1\tHP_0000002 |\tfever\n2\tHP_0000001 |\tfever\n")
+    out = read_gsc_corpus(spark, str(base)).collect()
+    assert len(out) == 1 and out[0]["kb_id"] == "HP_0000001"
+
+
+def test_alias_collision_concept_name_wins(spark, tmp_path_factory):
+    """(alias, kb_id) present as both concept name and synonym -> the
+    is_synonym=False row survives (min over booleans), deterministically."""
+    from nilinker_spark.sources.corpora import read_ctd_tsv_kb
+
+    base = tmp_path_factory.mktemp("ctd_dup")
+    p = base / "kb.tsv"
+    p.write_text(
+        "# header\n"
+        "aspirin\tMESH:D001\t\tMESH:D000\t\t\t\taspirin|acid\n"
+    )
+    _, aliases, _ = read_ctd_tsv_kb(spark, str(p))
+    rows = {(r["alias"], r["kb_id"]): r["is_synonym"] for r in aliases.collect()}
+    assert rows[("aspirin", "MESH:D001")] is False
+    assert rows[("acid", "MESH:D001")] is True
