@@ -116,3 +116,99 @@ def fuzzy_best_match(word: str, vocab: list[str]) -> str:
             best_score = s
             best_word = w
     return best_word
+
+
+def jaro_winkler_batch(a_list, b_list, p: float = 0.1, max_prefix: int = 4):
+    """Vectorized Jaro-Winkler over two string sequences -> float64 ndarray.
+
+    Bit-for-bit identical to the scalar :func:`jaro_winkler` (property-
+    tested): the greedy match loop runs over character POSITIONS (padded
+    max length, ~tens for entity forms) with all pairs advanced per step
+    in numpy — O(La*Lb) boolean work per pair like the scalar, but the
+    batch axis is C-speed.  This is the scoring UDF's hot path; the
+    scalar twin remains the oracle's.
+    """
+    import numpy as np
+
+    n = len(a_list)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+
+    def _mat(strs, lens, width):
+        # one flat utf-32 encode for the whole batch, scattered into the
+        # padded matrix in row-major order (mask assignment order ==
+        # concatenation order)
+        m = np.zeros((len(strs), width), dtype=np.uint32)
+        flat = np.frombuffer("".join(strs).encode("utf-32-le"), dtype=np.uint32)
+        mask = np.arange(width, dtype=np.int64)[None, :] < lens[:, None]
+        m[mask] = flat
+        return m
+
+    la = np.fromiter((len(s) for s in a_list), dtype=np.int64, count=n)
+    lb = np.fromiter((len(s) for s in b_list), dtype=np.int64, count=n)
+    eq = np.fromiter((x == y for x, y in zip(a_list, b_list)), dtype=bool, count=n)
+    out[eq] = 1.0
+    live = ~eq & (la > 0) & (lb > 0)
+    if not live.any():
+        return out
+    idx = np.nonzero(live)[0]
+    la_, lb_ = la[idx], lb[idx]
+    # rows sorted by len(a) DESC: at loop step i only the first k_i rows
+    # still have an i-th character, so every mask shrinks as i grows —
+    # total boolean work tracks sum(la*lb), not n*max(la)*max(lb)
+    order = np.argsort(-la_, kind="stable")
+    idx, la_, lb_ = idx[order], la_[order], lb_[order]
+    A = [a_list[i] for i in idx]
+    B = [b_list[i] for i in idx]
+    wa, wb = int(la_.max()), int(lb_.max())
+    am, bm = _mat(A, la_, wa), _mat(B, lb_, wb)
+
+    window = np.maximum(np.maximum(la_, lb_) // 2 - 1, 0)
+    match_a = np.zeros_like(am, dtype=bool)
+    match_b = np.zeros_like(bm, dtype=bool)
+    cols_b = np.arange(wb, dtype=np.int64)
+    valid_b = cols_b[None, :] < lb_[:, None]
+    la_asc = np.sort(la_)
+    for i in range(wa):
+        k = len(la_) - np.searchsorted(la_asc, i, side="right")  # rows with la > i
+        if k == 0:
+            break
+        # |col - i| <= window fuses the lo/hi bounds into one comparison
+        elig = (
+            (bm[:k] == am[:k, i : i + 1])
+            & ~match_b[:k]
+            & (np.abs(cols_b - i) <= window[:k, None])
+            & valid_b[:k]
+        )
+        any_row = elig.any(axis=1)
+        j_star = elig.argmax(axis=1)
+        r = np.nonzero(any_row)[0]
+        match_b[r, j_star[r]] = True
+        match_a[r, i] = True
+
+    m = match_a.sum(axis=1).astype(np.int64)
+    # compact matched chars left, order preserved (stable sort on ~match)
+    oa = np.argsort(~match_a, axis=1, kind="stable")
+    ob = np.argsort(~match_b, axis=1, kind="stable")
+    seq_a = np.take_along_axis(am, oa, axis=1)
+    seq_b = np.take_along_axis(bm, ob, axis=1)
+    w = min(wa, wb)
+    colmask = np.arange(w, dtype=np.int64)[None, :] < m[:, None]
+    t = (((seq_a[:, :w] != seq_b[:, :w]) & colmask).sum(axis=1).astype(np.int64)) // 2
+
+    safe_m = np.where(m > 0, m, 1)
+    j = np.where(
+        m > 0,
+        (m / la_ + m / lb_ + (m - t) / safe_m) / 3.0,
+        0.0,
+    )
+    # common-prefix length (<= max_prefix), pads excluded
+    k = min(max_prefix, wa, wb)
+    if k > 0:
+        pre_eq = (am[:, :k] == bm[:, :k]) & (am[:, :k] != 0) & (bm[:, :k] != 0)
+        l = np.cumprod(pre_eq, axis=1).sum(axis=1).astype(np.int64)
+    else:
+        l = np.zeros(len(idx), dtype=np.int64)
+    out[idx] = j + l * p * (1.0 - j)
+    return out

@@ -63,14 +63,15 @@ def jaro_winkler_udf(a, b):
 
     Spark has no built-in JW, so this is the one Python crossing in the
     scoring stage — acceptable because pairs are vocabulary-bounded
-    (distinct-form pairs, never corpus-sized); the function is the SAME
-    pure-Python nilinker_spark.functions.similarity.jaro_winkler the
-    oracle uses, so scores agree bit-for-bit."""
+    (distinct-form pairs, never corpus-sized).  The batch is evaluated by
+    the numpy-vectorized similarity.jaro_winkler_batch, bit-for-bit equal
+    (property-tested) to the pure-Python similarity.jaro_winkler the
+    oracle uses — no per-row Python loop left in the scoring path."""
     import pandas as pd
 
-    from nilinker_spark.functions.similarity import jaro_winkler
+    from nilinker_spark.functions.similarity import jaro_winkler_batch
 
-    return pd.Series([jaro_winkler(x, y) for x, y in zip(a, b)], dtype="float64")
+    return pd.Series(jaro_winkler_batch(a.tolist(), b.tolist()), dtype="float64")
 
 
 def score_pairs(

@@ -43,6 +43,7 @@ def resolve(
     tau: float = TAU,
     max_block: int = MAX_BLOCK_FORMS,
     metrics_out: dict | None = None,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """Checkpoint-free functional composition of S1-S7 (entry/bench path).
 
@@ -53,10 +54,22 @@ def resolve(
     metrics frames ({"mention_metrics", "block_salt_metrics"}, lazy) —
     the functional twin of the checkpointed Pipeline's metrics tables.
 
-    NOTE: the mentions frame stays ``.persist()``-ed when this returns
-    (the returned plan still reads it).  Callers that loop resolve() in
-    one session should ``spark.catalog.clearCache()`` between runs, or
-    the block manager accumulates a cached mentions copy per call.
+    ``cache_out``: the mentions frame stays ``.persist()``-ed when this
+    returns (the returned plan still reads it; unpersisting earlier would
+    recompute the corpus scan on the caller's first action).  Pass a list
+    to receive that frame and own its lifetime — ``.unpersist()`` each
+    entry once done with the result (bench does).  Without a handle,
+    callers that loop resolve() in one session must
+    ``spark.catalog.clearCache()`` between runs or the block manager
+    accumulates a cached mentions copy per call.
+
+    CONCURRENCY: the vocabulary-sized middle section temporarily rewrites
+    two session confs (``spark.sql.shuffle.partitions``, AQE) and restores
+    them before returning.  Any query COMPILED concurrently on the same
+    SparkSession during that window would pick the overridden values —
+    resolve() is single-flight per session by contract (the serial bench/
+    oracle/entry callers all are).  Concurrent callers should compile
+    their plans on their own SparkSession.
     """
     if gazetteer is None:
         gazetteer = {norm_form(s) for s, _, _ in kb.surface_forms}
@@ -70,6 +83,8 @@ def resolve(
     # regex execs at 1M docs) vs ~60 memoized dict probes per doc in the
     # Arrow scan.  The vectorized Python path is the measured fast path.
     mentions = extract_mentions_df(spark, webtext, gazetteer).persist()
+    if cache_out is not None:
+        cache_out.append(mentions)
     forms = mentions.select("norm").distinct().localCheckpoint(eager=True)
 
     # the distinct-form table is vocabulary-bounded (tiny vs the corpus, even
@@ -280,10 +295,55 @@ class Pipeline:
           (new edges may legitimately re-cluster old forms; tested).
 
         Caller contract: ``new_webtext`` urls are disjoint from all prior
-        runs (same as any append-only ingest).
+        runs (same as any append-only ingest); one incremental writer at a
+        time (single-flight, like run()).
+
+        RETRY SAFETY (write-ahead marker): the batch id is an order-free
+        checksum of the batch's urls.  Before the first append, the
+        pre-append part-file listing of every append-target table is
+        written to ``<ckpt>/incremental_wal/<batch_id>.intent.json``; a
+        commit marker lands after the final table is written.  A re-run
+        of the same batch after a mid-call crash first ROLLS BACK any
+        part files not in the intent snapshot (un-doing the partial
+        appends), then re-applies; a re-run of a committed batch is an
+        idempotent no-op returning the existing result.  (Lineage rows
+        from the crashed attempt remain — the lineage log is an
+        append-only audit, not the source of truth.)  This is the
+        poor-man's Iceberg snapshot the checkpoint layer stands in for.
         """
-        assert self._done("resolved"), "run() must complete before run_incremental()"
+        import json
+
+        if not self._done("resolved"):
+            raise RuntimeError("run() must complete before run_incremental()")
         gazetteer = {norm_form(s) for s, _, _ in self.kb.surface_forms}
+
+        sig = new_webtext.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("url")), F.lit(0)).alias("sig"),
+        ).first()
+        batch_id = f"b{int(sig['n'])}_{int(sig['sig']) & 0xFFFFFFFFFFFFFFFF:016x}"
+        wal_dir = os.path.join(self.ckpt_dir, "incremental_wal")
+        os.makedirs(wal_dir, exist_ok=True)
+        intent_path = os.path.join(wal_dir, f"{batch_id}.intent.json")
+        commit_path = os.path.join(wal_dir, f"{batch_id}.commit")
+        append_tables = ("mentions", "phrase_vecs")
+        if os.path.exists(commit_path):
+            return self._load("resolved")
+        if os.path.exists(intent_path):
+            with open(intent_path) as fh:
+                snap = json.load(fh)
+            for stage in append_tables:
+                keep = set(snap[stage])
+                d = self._path(stage)
+                for name in os.listdir(d):
+                    p = os.path.join(d, name)
+                    if name not in keep and os.path.isfile(p):
+                        os.remove(p)
+        else:
+            snap = {s: sorted(os.listdir(self._path(s))) for s in append_tables}
+            with open(intent_path + ".tmp", "w") as fh:
+                json.dump(snap, fh)
+            os.replace(intent_path + ".tmp", intent_path)
 
         new_m = extract_mentions_df(self.spark, new_webtext, gazetteer).persist()
         self._checkpoint_append("mentions", new_m)
@@ -315,9 +375,13 @@ class Pipeline:
         )
         from nilinker_spark.operators.scoring import _maybe_broadcast
 
-        return self._checkpoint(
+        resolved = self._checkpoint(
             "resolved",
             mentions.join(_maybe_broadcast(clusters, n_forms), "norm").select(
                 "url", "mention_id", "surface", "pos", "norm", "cluster_id"
             ),
         )
+        with open(commit_path + ".tmp", "w") as fh:
+            fh.write(batch_id)
+        os.replace(commit_path + ".tmp", commit_path)
+        return resolved

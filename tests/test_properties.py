@@ -117,3 +117,27 @@ def test_extract_mentions_gates_are_exact(doc_words, gaz_surfaces):
     want = _naive_extract("u", text, gazetteer)
     got = extract_mentions("u", text, gazetteer, {}, None)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefg üé日", max_size=14),
+            st.text(alphabet="abcdefg üé日", max_size=14),
+        ),
+        max_size=40,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_jaro_winkler_batch_bit_exact_vs_scalar(pairs):
+    """The numpy-vectorized scoring hot path must equal the pure-Python
+    oracle twin bit-for-bit on arbitrary unicode inputs."""
+    import numpy as np
+
+    from nilinker_spark.functions.similarity import jaro_winkler, jaro_winkler_batch
+
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got = jaro_winkler_batch(a, b)
+    want = np.array([jaro_winkler(x, y) for x, y in pairs], dtype=np.float64)
+    assert got.shape == want.shape and (got == want).all()

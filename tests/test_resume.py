@@ -93,3 +93,69 @@ def test_incremental_append_scores_only_new_forms(spark, kb, webtext_rows, tmp_p
     assert (a["norm"].values == b["norm"].values).all()
     # the incremental run really saw new forms (the test is non-vacuous)
     assert len(forms_after) > len(forms_before)
+
+
+def test_incremental_retry_after_midcall_crash(spark, kb, webtext_rows, tmp_path_factory):
+    """A crash between the mentions append and the phrase_vecs append,
+    followed by a re-run of the SAME batch, must not duplicate rows: the
+    WAL intent marker rolls the partial append back, and the final output
+    equals a from-scratch run (ADVICE r2: run_incremental retry safety)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+        ]
+    )
+    half = len(webtext_rows) // 2
+    df1 = spark.createDataFrame(webtext_rows[:half], schema)
+    df2 = spark.createDataFrame(webtext_rows[half:], schema)
+    df_full = spark.createDataFrame(webtext_rows, schema)
+
+    ck = str(tmp_path_factory.mktemp("ck_inc_retry"))
+    pipe = Pipeline(spark, kb, ck)
+    pipe.run(df1).count()
+    mentions_rows_before = spark.read.parquet(f"{ck}/mentions").count()
+
+    # crash exactly after the first append (mentions), before phrase_vecs
+    real_append = Pipeline._checkpoint_append
+    calls = {"n": 0}
+
+    def crashing(self, stage, df):
+        real_append(self, stage, df)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated mid-call crash")
+
+    Pipeline._checkpoint_append = crashing
+    try:
+        with pytest.raises(RuntimeError, match="simulated"):
+            pipe.run_incremental(df2)
+    finally:
+        Pipeline._checkpoint_append = real_append
+
+    # partial append happened (the crash was after a real write)
+    assert spark.read.parquet(f"{ck}/mentions").count() > mentions_rows_before
+
+    # retry the same batch: WAL rollback + clean re-apply
+    inc = pipe.run_incremental(df2).toPandas()
+
+    ck_scr = str(tmp_path_factory.mktemp("ck_inc_retry_scratch"))
+    scratch = Pipeline(spark, kb, ck_scr).run(df_full).toPandas()
+    assert len(inc) == len(scratch)
+    key = ["url", "mention_id", "pos"]
+    a = inc.sort_values(key).reset_index(drop=True)
+    b = scratch.sort_values(key).reset_index(drop=True)
+    assert (a["cluster_id"].values == b["cluster_id"].values).all()
+    # no duplicated mention rows in the appended table
+    m = spark.read.parquet(f"{ck}/mentions")
+    assert m.count() == m.dropDuplicates(["url", "mention_id"]).count() == len(scratch)
+
+    # re-running a COMMITTED batch is an idempotent no-op
+    again = pipe.run_incremental(df2).toPandas()
+    assert len(again) == len(inc)
+    assert m.count() == spark.read.parquet(f"{ck}/mentions").count()
