@@ -31,6 +31,14 @@ from nilinker_spark.sources.webtext import (
 # DuckDB twin of corpus.h60
 _H60 = "cast(('0x' || substr(md5({x}), 1, 15)) as bigint)"
 
+# Hot-shingle document-frequency cap for the shingle-based dedup queries
+# (operators.corpus.cap_shingle_df): shingles in > this many docs are
+# boilerplate — at 100 TB one navbar shingle across 10^6 docs would make
+# the shared-shingle equi-join quadratic in that bucket.  5 fires on the
+# sf0.01 contract data (29 shingles dropped), so the DuckDB twin proves
+# the capped semantics hash-exactly.
+DEDUP_MAX_SHINGLE_DF = 5
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
@@ -234,8 +242,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- corpus ops: dedup family ---------------------------------------------
     q["dedup_exact"] = lambda spark, sf: C.dedup_exact(_docs(spark, sf))
-    q["dedup_ngram_jaccard"] = lambda spark, sf: C.ngram_jaccard_pairs(_docs(spark, sf))
-    q["dedup_minhash_lsh"] = lambda spark, sf: C.minhash_lsh_pairs(_docs(spark, sf))
+    q["dedup_ngram_jaccard"] = lambda spark, sf: C.ngram_jaccard_pairs(
+        _docs(spark, sf), max_shingle_df=DEDUP_MAX_SHINGLE_DF
+    )
+    q["dedup_minhash_lsh"] = lambda spark, sf: C.minhash_lsh_pairs(
+        _docs(spark, sf), max_shingle_df=DEDUP_MAX_SHINGLE_DF
+    )
     q["dedup_simhash"] = lambda spark, sf: C.simhash(_docs(spark, sf))
 
     def embedding_neardup(spark, sf):
@@ -548,6 +560,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_extract_mentions"] = er_extract_mentions
 
+    # --- multimodal: feature extraction over binary media ---------------------
+    def media_features(spark, sf):
+        """Media feature plumbing as a first-class contract row: documents'
+        bytes as the payload, md5-lattice features (multimodal._fake_features
+        — pure md5+affine math, so the DuckDB twin recomputes it exactly),
+        one row per (media, dim) to keep array columns out of the oracle."""
+        from nilinker_spark.operators import multimodal as M
+
+        docs = _docs(spark, sf)
+        media = docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.try_element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("kind"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+        feats = M.extract_media_features(media)
+        return feats.select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.posexplode("features").alias("dim", "v"),
+        ).select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            "dim",
+            F.round(F.col("v").cast("double"), 4).alias("val"),
+        )
+
+    q["media_features"] = media_features
+
+    # --- streaming serving path, drained as one micro-batch -------------------
+    def stream_resolve_batch(spark, sf):
+        """stream_resolve (streaming extraction ⋈ static batch cluster
+        table) drained with an availableNow trigger into parquet and
+        re-read — proves through the driver gate that the streaming path
+        reproduces the batch er_resolve output (same oracle twin)."""
+        import shutil
+        import tempfile
+
+        from nilinker_spark.streaming.extract_stream import (
+            read_webtext_stream,
+            stream_resolve,
+        )
+
+        docs = _docs(spark, sf)
+        webtext = webtext_from_documents(docs)
+        gazetteer = gazetteer_from_documents(docs)
+        handle: list = []
+        resolved = resolve(
+            spark, webtext, make_kb(seed=42), gazetteer=gazetteer, cache_out=handle
+        )
+        clusters = (
+            resolved.select("norm", "cluster_id").distinct().localCheckpoint(eager=True)
+        )
+        for df in handle:
+            df.unpersist(blocking=True)
+
+        base = tempfile.mkdtemp(prefix="stream_resolve_")
+        try:
+            in_dir, out_dir, ck_dir = f"{base}/in", f"{base}/out", f"{base}/ck"
+            webtext.write.mode("overwrite").parquet(in_dir)
+            stream = read_webtext_stream(spark, in_dir)
+            out = stream_resolve(spark, stream, gazetteer, clusters)
+            (
+                out.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ck_dir)
+                .trigger(availableNow=True)
+                .outputMode("append")
+                .start()
+                .awaitTermination()
+            )
+            result = spark.read.parquet(out_dir).select(
+                "url", "mention_id", "surface", "pos", "norm", "cluster_id"
+            )
+            # the stream sink dir is temporary: materialize before cleanup
+            return spark.createDataFrame(result.collect(), result.schema)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    q["stream_resolve"] = stream_resolve_batch
+
     return q
 
 
@@ -559,18 +656,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _ER_CV_CACHE: dict[str, str | None] = {}
 
 
-def _er_cluster_values_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
-    """Literal (norm, cluster_id) dim for the er_resolve oracle.
+def _er_edge_values_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """Literal thresholded similarity-edge table for the er_resolve oracle.
 
-    HYBRID check, stated plainly: the mention set is derived INDEPENDENTLY
-    in SQL (the er_extract_mentions twin), but cluster ids come from the
-    single-process reference implementation (oracle.cluster_forms — the
-    "reference clusters" the north rule gates on), embedded as a VALUES
-    table.  SQL cannot express the attention phrase vectors or the
-    iterative connected components, so this is the strongest honest gate:
-    Spark's full distributed pipeline vs the shared-scalar-function
-    Python reference, per-mention, hash-exact.  Pinned to the driver's
-    correctness scale (sf0.01); returns None if that data is absent.
+    The r2 hybrid check embedded the finished (norm, cluster_id) dim from
+    oracle.cluster_forms — the transitive closure was the one
+    semi-trusted link.  Now only the EDGES come from the shared-scoring
+    Python oracle (SQL cannot express the attention phrase vectors), and
+    DuckDB independently derives the cluster ids: a recursive CTE
+    computes each form's reachable set over these edges and labels it
+    with the minimum — the same component-min rule as both UnionFind and
+    the distributed alternating-star loop, re-derived by a third engine.
+    Forms/mentions are fully SQL-derived (er_extract_mentions twin).
+    Pinned to the driver's correctness scale (sf0.01); returns None if
+    that data is absent.
     """
     if sf_dir in _ER_CV_CACHE:
         return _ER_CV_CACHE[sf_dir]
@@ -578,7 +677,7 @@ def _er_cluster_values_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
         import duckdb
 
         from nilinker_spark.functions.normalize import extract_text, norm_form
-        from nilinker_spark.oracle import cluster_forms, extract_mentions
+        from nilinker_spark.oracle import extract_mentions, similarity_edge_list
 
         docs = duckdb.sql(
             f"select doc_id, text, lang from '{sf_dir}/documents.parquet'"
@@ -602,14 +701,18 @@ def _er_cluster_values_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
         for _mid, surface, _pos in extract_mentions(f"doc://0/{doc_id}", extracted, gazetteer):
             forms.add(norm_form(surface))
     if not forms:
+        _ER_CV_CACHE[sf_dir] = None
         return None
-    clusters = cluster_forms(sorted(forms), make_kb(seed=42))
+    edges = similarity_edge_list(sorted(forms), make_kb(seed=42))
 
     def q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
 
-    rows = ", ".join(f"({q(n)}, {q(c)})" for n, c in sorted(clusters.items()))
-    out = f"(values {rows}) as c(norm, cluster_id)"
+    if edges:
+        rows = ", ".join(f"({q(a)}, {q(b)})" for a, b in edges)
+        out = f"(values {rows}) as e(src, dst)"
+    else:
+        out = "(select '' as src, '' as dst where false) as e(src, dst)"
     _ER_CV_CACHE[sf_dir] = out
     return out
 
@@ -724,20 +827,27 @@ def oracle_sql() -> dict[str, str]:
         "select " + _H60.format(x="text") + " as text_hash, count(*) as n_docs, "
         "min(doc_id) as canonical_doc_id from documents group by 1"
     )
+    # hot-shingle cap twin (cap_shingle_df): keep shingles whose document
+    # frequency is <= DEDUP_MAX_SHINGLE_DF — both set sizes and
+    # intersections see the capped set, exactly like the Spark operator
+    shc = (
+        "select s.doc_id, s.sh from sh s join (select sh from sh group by sh "
+        f"having count(*) <= {DEDUP_MAX_SHINGLE_DF}) keep using (sh)"
+    )
     o["dedup_ngram_jaccard"] = (
-        f"with sh as ({sh}), "
-        "sizes as (select doc_id, count(*) as n_sh from sh group by 1), "
+        f"with sh as ({sh}), shc as ({shc}), "
+        "sizes as (select doc_id, count(*) as n_sh from shc group by 1), "
         "inter as (select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as inter "
-        "from sh a join sh b using (sh) where a.doc_id < b.doc_id group by 1, 2) "
+        "from shc a join shc b using (sh) where a.doc_id < b.doc_id group by 1, 2) "
         "select doc_a, doc_b, round(inter / (sa.n_sh + sb.n_sh - inter), 4) as jaccard "
         "from inter join sizes sa on sa.doc_id = doc_a join sizes sb on sb.doc_id = doc_b "
         "where round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.05"
     )
     o["dedup_minhash_lsh"] = (
-        f"with sh as ({sh}), "
+        f"with sh as ({sh}), shc as ({shc}), "
         "sig as (select doc_id, h.hash_id, min("
         + _H60.format(x="concat(h.hash_id, '#', sh)")
-        + ") as minhash from sh, unnest(range(0, 6)) as h(hash_id) group by 1, 2), "
+        + ") as minhash from shc, unnest(range(0, 6)) as h(hash_id) group by 1, 2), "
         "banded as (select doc_id, cast(hash_id // 2 as int) as band, "
         "string_agg(minhash, '|' order by hash_id) as band_key from sig group by 1, 2) "
         "select distinct a.doc_id as doc_a, b.doc_id as doc_b "
@@ -984,18 +1094,51 @@ def oracle_sql() -> dict[str, str]:
         "surface, cast(pos as int) as pos, nbigram as norm "
         "from res where (pos - run_start) % 2 = 0"
     )
-    # flagship end-to-end gate: SQL-derived mentions joined to the
-    # reference-implementation cluster dim (see _er_cluster_values_sql
-    # for exactly what is and is not independently recomputed here)
-    _cv = _er_cluster_values_sql(
+    # flagship end-to-end gate: SQL-derived mentions + DuckDB-derived
+    # transitive closure.  Only the thresholded similarity EDGES come from
+    # the shared-scoring Python oracle (see _er_edge_values_sql); the
+    # cluster ids are recomputed here by a recursive reachability CTE
+    # (component label = min reachable form, the engine's component-min
+    # rule re-derived by a third engine).
+    _ev = _er_edge_values_sql(
         os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     )
-    if _cv is not None:
+    if _ev is not None:
         o["er_resolve"] = (
-            f"with em as ({o['er_extract_mentions']}) "
+            f"with recursive em as ({o['er_extract_mentions']}), "
+            "forms as (select distinct norm from em), "
+            f"ed as (select src, dst from {_ev}), "
+            "sym as (select src, dst from ed union select dst, src from ed), "
+            "reach(node, r) as (select norm, norm from forms "
+            "union select reach.node, sym.dst from reach join sym on reach.r = sym.src), "
+            "clusters as (select node as norm, min(r) as cluster_id from reach group by 1) "
             "select em.url, em.mention_id, em.surface, em.pos, em.norm, c.cluster_id "
-            f"from em join {_cv} using (norm)"
+            "from em join clusters c using (norm)"
         )
+    if _ev is not None:
+        # the streaming serving path equals the batch output by
+        # construction (stream-static join against the batch cluster
+        # table) — gated against the SAME independent twin
+        o["stream_resolve"] = o["er_resolve"]
+    # multimodal feature twin: md5-lattice features recomputed natively —
+    # component x_i = 2*(md5_60bit(md5(payload) || '#' || i)/2^60) - 1,
+    # L2-normalized, float32-cast, rounded (float rounding absorbs
+    # aggregate-order ulps, like the LSH twins)
+    o["media_features"] = (
+        "with m as (select doc_id as media_id, "
+        "['image','audio','video'][cast(doc_id % 3 as int) + 1] as kind, "
+        # md5(VARCHAR) hashes the utf-8 bytes == md5 of the payload blob
+        "encode(text) as payload, text as txt from documents), "
+        "f as (select media_id, kind, octet_length(payload) as n_bytes, i.i as dim, "
+        "2.0 * (" + _H60.format(x="md5(txt) || '#' || i.i")
+        + " / 1152921504606846976.0) - 1.0 as x "
+        "from m, unnest(range(0, 16)) as i(i)), "
+        "n as (select media_id, sqrt(sum(x * x)) as nrm from f group by 1) "
+        "select f.media_id, f.kind, cast(f.n_bytes as bigint) as n_bytes, "
+        "cast(f.dim as int) as dim, "
+        "round(cast(cast(f.x / n.nrm as float) as double), 4) as val "
+        "from f join n using (media_id)"
+    )
     o["eval_filter_top_pred"] = (
         "with q as (select vec_id as query_id, embedding as qe from embeddings where vec_id < 10), "
         "scored as (select q.query_id, e.vec_id, "

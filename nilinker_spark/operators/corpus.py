@@ -80,8 +80,33 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def cap_shingle_df(sh: DataFrame, max_df: int, metrics_out: dict | None = None) -> DataFrame:
+    """Drop shingles with document frequency > ``max_df`` (boilerplate cap).
+
+    A shingle shared by d documents contributes O(d²) rows to any
+    shared-shingle equi-join — one boilerplate navbar shingle across 10^6
+    docs of a 100 TB corpus makes the join quadratic in that bucket.
+    Near-universal shingles carry no similarity signal (the stopword
+    argument), so they are removed from the shingle SET (consistently:
+    both intersections and set sizes see the capped set).
+
+    No silent truncation: pass ``metrics_out`` to receive the dropped
+    (sh, df) frame — the dedup twin of pairs.py's block salt_metrics.
+    """
+    df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    hot = df_counts.filter(F.col("df") > max_df)
+    if metrics_out is not None:
+        metrics_out["hot_shingles"] = hot
+    return sh.join(hot.select("sh"), "sh", "left_anti")
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, k: int = 3, threshold: float = 0.05, persist_shingles: bool = True
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.05,
+    persist_shingles: bool = True,
+    max_shingle_df: int | None = None,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Candidate pairs via shared shingles + exact Jaccard over shingle sets.
 
@@ -100,6 +125,8 @@ def ngram_jaccard_pairs(
     from pyspark import StorageLevel
 
     sh = shingles(docs, k)
+    if max_shingle_df is not None:
+        sh = cap_shingle_df(sh, max_shingle_df, metrics_out)
     if persist_shingles:
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -120,9 +147,21 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = 6) -> DataFrame:
-    """(doc_id, hash_id, minhash) — k independent permutations via salted md5."""
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 6,
+    max_shingle_df: int | None = None,
+    metrics_out: dict | None = None,
+) -> DataFrame:
+    """(doc_id, hash_id, minhash) — k independent permutations via salted md5.
+
+    ``max_shingle_df``: boilerplate cap applied to the shingle set BEFORE
+    hashing (see :func:`cap_shingle_df`) — signatures then describe the
+    informative shingles only, and the downstream band join cannot
+    inherit a quadratic boilerplate bucket."""
     sh = shingles(docs)
+    if max_shingle_df is not None:
+        sh = cap_shingle_df(sh, max_shingle_df, metrics_out)
     hs = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("hash_id")
     salted = sh.select("doc_id", "sh", hs)
     return (
@@ -133,7 +172,12 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 6) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, n_hashes: int = 6, band_size: int = 2, persist_bands: bool = True
+    docs: DataFrame,
+    n_hashes: int = 6,
+    band_size: int = 2,
+    persist_bands: bool = True,
+    max_shingle_df: int | None = None,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: docs colliding on any band are candidates.
 
@@ -148,7 +192,7 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
-    sig = minhash_signatures(docs, n_hashes)
+    sig = minhash_signatures(docs, n_hashes, max_shingle_df=max_shingle_df, metrics_out=metrics_out)
     banded = (
         sig.withColumn("band", F.floor(F.col("hash_id") / band_size).cast("int"))
         .groupBy("doc_id", "band")

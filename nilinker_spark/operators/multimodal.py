@@ -46,13 +46,20 @@ FEATURE_DIM = 16
 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Deterministic stand-in for a real image/audio encoder: md5-seeded
-    unit vector.  Pure function of the bytes -> reproducible anywhere."""
-    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    v = rng.normal(size=dim).astype(np.float32)
+    """Deterministic stand-in for a real image/audio encoder: md5-lattice
+    unit vector.  Pure md5 + affine arithmetic (no library RNG) so an
+    independent SQL engine can recompute it — the media_features contract
+    query's DuckDB twin does, hash-exactly (same construction as the LSH
+    hyperplane constants).  component_i = 2*(md5_60bit(head#i)/2^60) - 1,
+    L2-normalized in float64, stored float32."""
+    head = hashlib.md5(payload).hexdigest()
+    vals = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"{head}#{i}".encode()).hexdigest()[:15], 16)
+        vals.append(2.0 * (h / float(1 << 60)) - 1.0)
+    v = np.array(vals, dtype=np.float64)
     n = float(np.sqrt((v * v).sum())) or 1.0
-    return v / n
+    return (v / n).astype(np.float32)
 
 
 def _real_image_decode(payload: bytes) -> np.ndarray:

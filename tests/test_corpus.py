@@ -203,3 +203,55 @@ def test_repetition_metrics_two_token_doc_dropped(spark):
     )
     rows = {r["doc_id"] for r in C.repetition_metrics(docs).collect()}
     assert rows == {1}
+
+
+def test_hot_shingle_cap_bounds_boilerplate_bucket(spark):
+    """Zipf fixture: one boilerplate shingle shared by EVERY doc. Uncapped,
+    the shared-shingle join sees the O(n²) bucket; with the cap, the
+    boilerplate shingle is dropped (and reported — no silent truncation)
+    while genuinely-similar pairs survive via their other shingles."""
+    from nilinker_spark.operators.corpus import cap_shingle_df, ngram_jaccard_pairs, shingles
+
+    boiler = "copyright acme corp"
+    rows = []
+    # 2 genuinely near-duplicate docs + 18 unrelated docs, all sharing the
+    # boilerplate trigram
+    rows.append((0, f"{boiler} alpha beta gamma delta epsilon zeta"))
+    rows.append((1, f"{boiler} alpha beta gamma delta epsilon eta"))
+    for i in range(2, 20):
+        rows.append((i, f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # the boilerplate shingle really is the hot one
+    metrics: dict = {}
+    sh = shingles(docs, 3)
+    capped = cap_shingle_df(sh, max_df=10, metrics_out=metrics)
+    hot = metrics["hot_shingles"].collect()
+    assert len(hot) >= 1 and max(r["df"] for r in hot) == 20
+    # bucket bound: no capped shingle has df > 10
+    assert capped.groupBy("sh").count().filter("count > 10").count() == 0
+
+    uncapped_pairs = ngram_jaccard_pairs(docs, threshold=0.01, persist_shingles=False)
+    capped_pairs = ngram_jaccard_pairs(
+        docs, threshold=0.01, persist_shingles=False, max_shingle_df=10
+    )
+    got_capped = {(r["doc_a"], r["doc_b"]) for r in capped_pairs.collect()}
+    got_uncapped = {(r["doc_a"], r["doc_b"]) for r in uncapped_pairs.collect()}
+    # uncapped: boilerplate connects everything; capped: only the real dup
+    assert (0, 1) in got_capped
+    assert len(got_capped) < len(got_uncapped)
+    assert all(p == (0, 1) for p in got_capped)
+
+
+def test_minhash_cap_drops_boilerplate_from_signatures(spark):
+    """With the cap, LSH candidates come from informative shingles only."""
+    from nilinker_spark.operators.corpus import minhash_lsh_pairs
+
+    boiler = "copyright acme corp"
+    rows = [(i, f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_lsh_pairs(docs, persist_bands=False, max_shingle_df=6)
+    # docs share ONLY boilerplate -> no candidates once capped
+    assert capped.count() == 0
+    uncapped = minhash_lsh_pairs(docs, persist_bands=False)
+    assert uncapped.count() > 0

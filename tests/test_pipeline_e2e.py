@@ -154,12 +154,45 @@ def test_resolve_cache_handle_owns_persisted_frames(spark, kb, webtext_df):
     no clearCache() discipline required of API users)."""
     from nilinker_spark.pipeline import resolve
 
-    jsc = spark.sparkContext._jsc
-    before = jsc.getPersistentRDDs().size()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cache_mgr.isEmpty()
     handle: list = []
     out = resolve(spark, webtext_df, kb, cache_out=handle)
     assert out.count() > 0
     assert len(handle) == 1
     for df in handle:
         df.unpersist(blocking=True)
-    assert jsc.getPersistentRDDs().size() <= before
+    # the catalog cache (the leak class: persist() entries survive until
+    # explicitly unpersisted) is empty again; localCheckpoint RDDs are
+    # ContextCleaner-owned and vanish with their references
+    assert cache_mgr.isEmpty()
+
+
+def test_resolve_driver_vs_distributed_middle(spark, kb, webtext_df, monkeypatch):
+    """Forced-path parity for the adaptive small-vocabulary middle
+    (pipeline.DRIVER_VOCAB_MAX): driver-side cluster_forms and the full
+    distributed S2-S6 must produce identical output AND identical salt
+    metrics on the same corpus."""
+    from nilinker_spark import pipeline as P
+
+    key = ["url", "mention_id", "pos"]
+    m_fast: dict = {}
+    monkeypatch.setattr(P, "DRIVER_VOCAB_MAX", 10**9)
+    fast = P.resolve(spark, webtext_df, kb, metrics_out=m_fast).toPandas()
+    fast_salt = m_fast["block_salt_metrics"].toPandas()
+    spark.catalog.clearCache()
+
+    m_dist: dict = {}
+    monkeypatch.setattr(P, "DRIVER_VOCAB_MAX", 0)
+    dist = P.resolve(spark, webtext_df, kb, metrics_out=m_dist).toPandas()
+    dist_salt = m_dist["block_salt_metrics"].toPandas()
+    spark.catalog.clearCache()
+
+    a = fast.sort_values(key).reset_index(drop=True)
+    b = dist.sort_values(key).reset_index(drop=True)
+    assert a.equals(b), "driver-side middle disagrees with distributed middle"
+    sa = fast_salt.sort_values("block_key").reset_index(drop=True)
+    sb = dist_salt.sort_values("block_key").reset_index(drop=True)
+    assert list(sa.columns) == list(sb.columns)
+    assert sa.equals(sb), "salt metrics disagree between paths"
