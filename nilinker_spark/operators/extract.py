@@ -40,6 +40,21 @@ _NORM_CACHE: dict[str, tuple[str, int]] = {}
 _NORM_CACHE_MAX = 2_000_000
 
 
+def _evict_norm_cache() -> None:
+    """Drop the newest half of the memo, keep the oldest.
+
+    Python dicts iterate in insertion order, and under a Zipf token
+    distribution the head tokens are all inserted within the first few
+    documents — so the OLDEST entries approximate the frequency head and
+    the newest approximate the long tail.  Halving from the tail end
+    keeps the hot head warm across the eviction (a full clear() threw it
+    away mid-batch and re-paid the regex for every head token), with no
+    per-hit LRU bookkeeping in the scan's innermost loop."""
+    drop = list(_NORM_CACHE.keys())[len(_NORM_CACHE) // 2 :]
+    for k in drop:
+        del _NORM_CACHE[k]
+
+
 def extract_mentions_df(spark: SparkSession, webtext: DataFrame, gazetteer: set[str]) -> DataFrame:
     """webtext(url, warc_ts, html, text, lang) -> mentions, English pages only."""
     gz = spark.sparkContext.broadcast(sorted(gazetteer))
@@ -52,7 +67,7 @@ def extract_mentions_df(spark: SparkSession, webtext: DataFrame, gazetteer: set[
         for pdf in batches:
             urls, mids, surfaces, poss, norms = [], [], [], [], []
             if len(_NORM_CACHE) > _NORM_CACHE_MAX:
-                _NORM_CACHE.clear()
+                _evict_norm_cache()
             for url, html in zip(pdf["url"], pdf["html"]):
                 text = extract_text(bytes(html))
                 for mid, surface, pos in extract_mentions(url, text, gset, _NORM_CACHE, gidx):

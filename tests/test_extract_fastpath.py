@@ -76,3 +76,22 @@ def test_relational_guard_fires_on_multiword_normalization(spark):
     with pytest.raises(Exception) as exc:
         df.collect()
     assert "extract_mentions_relational" in str(exc.value)
+
+
+def test_norm_cache_eviction_keeps_zipf_head():
+    """Overflow eviction drops the newest (tail) half and keeps the
+    oldest (head) half — insertion order is the Zipf-frequency proxy."""
+    from nilinker_spark.operators import extract as E
+
+    saved = dict(E._NORM_CACHE)
+    try:
+        E._NORM_CACHE.clear()
+        for i in range(100):
+            E._NORM_CACHE[f"tok{i:03d}"] = (f"tok{i:03d}", 1)
+        E._evict_norm_cache()
+        assert len(E._NORM_CACHE) == 50
+        assert "tok000" in E._NORM_CACHE and "tok049" in E._NORM_CACHE
+        assert "tok050" not in E._NORM_CACHE and "tok099" not in E._NORM_CACHE
+    finally:
+        E._NORM_CACHE.clear()
+        E._NORM_CACHE.update(saved)
