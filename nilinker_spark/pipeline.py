@@ -316,6 +316,75 @@ class Pipeline:
         )
         return resolved
 
+    # --- table maintenance ---------------------------------------------------
+    def compact(self, stage: str, target_rows_per_file: int = 1_000_000) -> int:
+        """Rewrite a stage table's many small part files into few sized ones.
+
+        The maintenance half of the Iceberg stand-in story: incremental
+        appends (run_incremental) accrete one part-file set per batch; at
+        100 TB that read-amplifies every downstream scan.  Semantics:
+
+        - content-preserving: rows and order-free checksum must match
+          before the swap, else the compaction aborts and the original
+          table stays (verified, not assumed);
+        - atomic-ish: the rewrite lands in ``<stage>__compacting``, then
+          one ``os.replace`` of the directory names swaps it in (the
+          parquet stand-in for an Iceberg snapshot commit; a crash before
+          the swap leaves the original untouched, a crash between the
+          two renames is recovered by the leftover-dir check below);
+        - audited: one lineage row (stage = ``compact:<stage>``).
+
+        Returns the number of part files after compaction.
+        """
+        src = self._path(stage)
+        tmp = src + "__compacting"
+        old = src + "__precompact"
+        # recover a crashed previous compaction: a leftover old-dir means
+        # the swap completed but cleanup didn't; a leftover tmp means the
+        # rewrite never committed — drop it
+        import shutil
+
+        for leftover in (tmp, old):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
+
+        cur = self.spark.read.parquet(src)
+        stats = cur.agg(
+            F.count("*").alias("rows"),
+            F.coalesce(F.bit_xor(F.xxhash64(*cur.columns)), F.lit(0)).alias("checksum"),
+        ).collect()[0]
+        n_files = max(1, int(stats["rows"]) // target_rows_per_file + 1)
+        t0 = time.monotonic()
+        cur.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        new = self.spark.read.parquet(tmp)
+        new_stats = new.agg(
+            F.count("*").alias("rows"),
+            F.coalesce(F.bit_xor(F.xxhash64(*new.columns)), F.lit(0)).alias("checksum"),
+        ).collect()[0]
+        if (int(new_stats["rows"]), int(new_stats["checksum"])) != (
+            int(stats["rows"]),
+            int(stats["checksum"]),
+        ):
+            shutil.rmtree(tmp)
+            raise RuntimeError(f"compaction of {stage} changed content; aborted")
+        os.replace(src, old)
+        os.replace(tmp, src)
+        shutil.rmtree(old)
+        lineage_row = [
+            (
+                f"compact:{stage}",
+                int(new_stats["rows"]),
+                int(new_stats["checksum"]),
+                int((time.monotonic() - t0) * 1000),
+            )
+        ]
+        self.spark.createDataFrame(
+            lineage_row, "stage string, rows long, checksum long, wall_ms long"
+        ).write.mode("append").parquet(os.path.join(self.ckpt_dir, "lineage_log"))
+        return len(
+            [f for f in os.listdir(src) if f.endswith(".parquet") or f.startswith("part-")]
+        )
+
     # --- cross-run incremental batch resume ---------------------------------
     def run_incremental(self, new_webtext: DataFrame) -> DataFrame:
         """Append new documents to a COMPLETED run; only never-seen

@@ -147,3 +147,32 @@ def run_stream_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_sessionize(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization via native session windows:
+    (user_id, session_start, session_end, n_events).
+
+    ``F.session_window`` keeps per-key state that MERGES adjacent events
+    closer than ``gap`` — the stateful streaming twin of the batch
+    lag-over-window sessionization (the §2.4 `sessionization` query) —
+    and the watermark closes sessions (and frees their state) once event
+    time passes session_end + watermark, so state is bounded by the
+    active-session population at any watermark horizon, not by history.
+    Append-mode-compatible: rows emit only when their session closes.
+    """
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -159,3 +159,47 @@ def test_incremental_retry_after_midcall_crash(spark, kb, webtext_rows, tmp_path
     again = pipe.run_incremental(df2).toPandas()
     assert len(again) == len(inc)
     assert m.count() == spark.read.parquet(f"{ck}/mentions").count()
+
+
+def test_compact_preserves_content_and_resume(spark, kb, webtext_rows, tmp_path_factory):
+    """compact(): many part files -> few, identical rows + checksum, table
+    still counts as done (resume no-op) and a lineage audit row lands."""
+    import os
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+        ]
+    )
+    half = len(webtext_rows) // 2
+    df1 = spark.createDataFrame(webtext_rows[:half], schema)
+    df2 = spark.createDataFrame(webtext_rows[half:], schema)
+
+    ck = str(tmp_path_factory.mktemp("ck_compact"))
+    pipe = Pipeline(spark, kb, ck)
+    pipe.run(df1).count()
+    pipe.run_incremental(df2).count()  # appends a second part-file set
+
+    src = os.path.join(ck, "mentions")
+    files_before = [f for f in os.listdir(src) if f.startswith("part-")]
+    before = pipe._load("mentions").toPandas().sort_values(["url", "mention_id"])
+
+    n_after = pipe.compact("mentions")
+    files_after = [f for f in os.listdir(src) if f.startswith("part-")]
+    assert len(files_after) < len(files_before)
+    assert n_after == len(files_after) == 1  # tiny table -> one file
+
+    after = pipe._load("mentions").toPandas().sort_values(["url", "mention_id"])
+    assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
+    assert pipe._done("mentions")
+    lin = pipe.lineage().toPandas()
+    assert (lin["stage"] == "compact:mentions").sum() == 1
+    # no leftover working directories
+    assert not os.path.exists(src + "__compacting")
+    assert not os.path.exists(src + "__precompact")

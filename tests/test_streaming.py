@@ -99,3 +99,103 @@ def test_stream_resolve_matches_batch_pipeline(
     b = batch_pd.sort_values(key).reset_index(drop=True)
     assert len(a) == len(b) and len(a) > 0
     assert (a["cluster_id"].values == b["cluster_id"].values).all()
+
+
+def test_stream_sessionize_matches_batch_session_windows(spark, tmp_path_factory):
+    """availableNow drain of stream_sessionize == the same session-window
+    aggregation run as a batch query on the same events, and the session
+    count per user == the batch lag-gap sessionization (same 30-min gap
+    semantics, two formulations)."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nilinker_spark.streaming.extract_stream import stream_sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in ("u1", "u2"):
+        for start_h, n in ((0, 3), (2, 2), (5, 1)):  # 3 sessions per user
+            for k in range(n):
+                rows.append((eid, user, base + dt.timedelta(hours=start_h, minutes=10 * k)))
+                eid += 1
+    events = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp")
+
+    in_dir = str(tmp_path_factory.mktemp("sess_in"))
+    out_base = tmp_path_factory.mktemp("sess_out")
+    events.write.mode("overwrite").parquet(in_dir)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("event_id long, user_id string, ts timestamp")
+            .parquet(in_dir)
+        )
+        (
+            stream_sessionize(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out_base / "data"))
+            .option("checkpointLocation", str(out_base / "ck"))
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+            .awaitTermination()
+        )
+
+    # first drain: only sessions already past the watermark emit (append
+    # mode holds open state in the checkpoint) — then a sentinel event far
+    # beyond the horizon arrives, the RESTARTED query resumes from the
+    # checkpoint, the watermark advances, and the held sessions flush
+    drain()
+    sentinel = spark.createDataFrame(
+        [(999, "uF", base + dt.timedelta(hours=20))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    sentinel.write.mode("append").parquet(in_dir)
+    drain()
+
+    got = (
+        spark.read.parquet(str(out_base / "data"))
+        .toPandas()
+        .query("user_id != 'uF'")  # the sentinel's own session stays open
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+
+    want = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), "stream drain differs from batch session windows"
+    assert len(got) == 6 and (got.groupby("user_id").size() == 3).all()
+
+    # cross-check against the lag-gap formulation (the batch contract query)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                - F.unix_micros(F.col("prev_ts").cast("timestamp_ltz"))
+                > 1800 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    lag_counts = {
+        r["user_id"]: r["n"]
+        for r in gaps.groupBy("user_id").agg(F.sum("new_sess").alias("n")).collect()
+    }
+    sw_counts = got.groupby("user_id").size().to_dict()
+    assert lag_counts == sw_counts
