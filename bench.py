@@ -342,10 +342,13 @@ def main() -> None:
     ]
     timings: dict[str, float] = {}
     for name in headline:
-        t0 = time.monotonic()
-        qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.monotonic() - t0, 3)
-        spark.catalog.clearCache()  # er_resolve persists mentions
+        best = float("inf")
+        for _ in range(2):  # best-of-2: multi-minute host-noise periods
+            t0 = time.monotonic()
+            qs[name](spark, SF_DIR).count()
+            best = min(best, time.monotonic() - t0)
+            spark.catalog.clearCache()  # er_resolve persists mentions
+        timings[name] = round(best, 3)
 
     spark.stop()
 

@@ -196,3 +196,27 @@ def test_resolve_driver_vs_distributed_middle(spark, kb, webtext_df, monkeypatch
     sb = dist_salt.sort_values("block_key").reset_index(drop=True)
     assert list(sa.columns) == list(sb.columns)
     assert sa.equals(sb), "salt metrics disagree between paths"
+
+
+def test_resolve_paths_agree_under_salted_hot_blocks(spark, kb, webtext_df, monkeypatch):
+    """Same forced-path parity, but with max_block lowered so blocks
+    EXCEED it — the driver path must reproduce the distributed salted
+    sub-block + anchor pair generation (and report the same non-empty
+    salt metrics), not just the easy all-pairs regime."""
+    from nilinker_spark import pipeline as P
+
+    key = ["url", "mention_id", "pos"]
+    results = {}
+    for name, vocab_max in (("fast", 10**9), ("dist", 0)):
+        monkeypatch.setattr(P, "DRIVER_VOCAB_MAX", vocab_max)
+        m: dict = {}
+        out = P.resolve(spark, webtext_df, kb, max_block=2, metrics_out=m).toPandas()
+        salt = m["block_salt_metrics"].toPandas()
+        spark.catalog.clearCache()
+        results[name] = (
+            out.sort_values(key).reset_index(drop=True),
+            salt.sort_values("block_key").reset_index(drop=True),
+        )
+    assert len(results["fast"][1]) > 0, "fixture must actually trigger salting"
+    assert results["fast"][0].equals(results["dist"][0])
+    assert results["fast"][1].equals(results["dist"][1])
