@@ -248,6 +248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = lambda spark, sf: C.minhash_lsh_pairs(
         _docs(spark, sf), max_shingle_df=DEDUP_MAX_SHINGLE_DF
     )
+    q["dedup_clusters"] = lambda spark, sf: C.dedup_clusters(
+        _docs(spark, sf), max_shingle_df=DEDUP_MAX_SHINGLE_DF
+    )
     q["dedup_simhash"] = lambda spark, sf: C.simhash(_docs(spark, sf))
 
     def embedding_neardup(spark, sf):
@@ -852,6 +855,30 @@ def oracle_sql() -> dict[str, str]:
         "string_agg(minhash, '|' order by hash_id) as band_key from sig group by 1, 2) "
         "select distinct a.doc_id as doc_a, b.doc_id as doc_b "
         "from banded a join banded b using (band, band_key) where a.doc_id < b.doc_id"
+    )
+    # end-to-end near-dup clustering twin: the LSH pair chain above feeds a
+    # recursive reachability CTE (same derivation as the er_resolve cluster
+    # twin); node keys are zero-padded so the component-min rule orders
+    # numerically on both engines
+    o["dedup_clusters"] = (
+        f"with recursive sh as ({sh}), shc as ({shc}), "
+        "sig as (select doc_id, h.hash_id, min("
+        + _H60.format(x="concat(h.hash_id, '#', sh)")
+        + ") as minhash from shc, unnest(range(0, 6)) as h(hash_id) group by 1, 2), "
+        "banded as (select doc_id, cast(hash_id // 2 as int) as band, "
+        "string_agg(minhash, '|' order by hash_id) as band_key from sig group by 1, 2), "
+        "prs as (select distinct a.doc_id as doc_a, b.doc_id as doc_b "
+        "from banded a join banded b using (band, band_key) where a.doc_id < b.doc_id), "
+        "nodes as (select lpad(cast(doc_id as varchar), 12, '0') as node, doc_id from documents), "
+        "ed as (select lpad(cast(doc_a as varchar), 12, '0') as src, "
+        "lpad(cast(doc_b as varchar), 12, '0') as dst from prs), "
+        "sym as (select src, dst from ed union select dst, src from ed), "
+        "reach(node, r) as (select node, node from nodes "
+        "union select reach.node, sym.dst from reach join sym on reach.r = sym.src), "
+        "cl as (select node, min(r) as rep from reach group by 1) "
+        "select n.doc_id, cast(cl.rep as bigint) as cluster_id, "
+        "n.doc_id = cast(cl.rep as bigint) as is_canonical "
+        "from nodes n join cl on n.node = cl.node"
     )
     o["dedup_simhash"] = (
         "with tk as (select distinct doc_id, t.token as token from documents, "

@@ -515,3 +515,43 @@ def embedding_neardup_lsh(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    n_hashes: int = 6,
+    band_size: int = 2,
+    max_shingle_df: int | None = None,
+    metrics_out: dict | None = None,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering: MinHash-LSH candidate pairs
+    -> connected components -> (doc_id, cluster_id, is_canonical).
+
+    The "which documents do we keep" operator a training-data pipeline
+    actually runs: transitive closure over the LSH candidate graph, the
+    numerically-smallest member of each component as the canonical
+    survivor.  Node ids are zero-padded so the component-min rule (shared
+    with clustering.connected_components AND the DuckDB recursive-CTE
+    twin) orders numerically; singletons are their own canonical.
+
+    Scale shape: the pair generation is the banded equi-join (never
+    all-pairs), CC is O(log n) rounds above the driver threshold and one
+    collect below it — both paths parity-tested.
+    """
+    from nilinker_spark.operators.clustering import connected_components
+
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes, band_size, max_shingle_df=max_shingle_df, metrics_out=metrics_out
+    )
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    edges = pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
+    labels = connected_components(edges)
+    ids = docs.select(pad("doc_id").alias("node"), F.col("doc_id"))
+    return (
+        ids.join(labels, "node", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("node")).cast("bigint").alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )

@@ -255,3 +255,20 @@ def test_minhash_cap_drops_boilerplate_from_signatures(spark):
     assert capped.count() == 0
     uncapped = minhash_lsh_pairs(docs, persist_bands=False)
     assert uncapped.count() > 0
+
+
+def test_dedup_clusters_end_to_end(spark):
+    """LSH pairs -> CC -> canonical labels: exact dup groups co-cluster
+    under the numeric component-min, singletons self-label, and exactly
+    one member per cluster is canonical."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, base), (5, base), (12, base),           # one dup group, min id 0
+        (3, "totally different words here entirely unique"),
+        (7, "another unrelated document with its own content"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in C.dedup_clusters(docs).collect()}
+    assert out[0] == (0, True) and out[5] == (0, False) and out[12] == (0, False)
+    assert out[3] == (3, True) and out[7] == (7, True)
+    assert sum(1 for c, canon in out.values() if canon) == 3
