@@ -280,6 +280,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_corpus.py — the oracle checks the LSH output itself)
     q["ann_topk_lsh"] = ann_topk_lsh
 
+    def ann_topk_ivf(spark, sf):
+        emb = load_table(spark, sf, "embeddings")
+        return C.ann_topk_ivf(emb, _queries_df(spark, sf), k=5, n_centroids=16, n_probe=4)
+
+    # the second ANN scale path (brief: "IVF or LSH-bucketed"): md5-stride
+    # centroids are deterministic and engine-reproducible, so the whole
+    # route-then-search is hash-exact against the SQL twin
+    q["ann_topk_ivf"] = ann_topk_ivf
+
     def embedding_neardup_lsh(spark, sf):
         # threshold 0.2: the synthetic embeddings have no true near-dups,
         # so 0.5 returns zero rows — 0.2 keeps the oracle comparison
@@ -932,6 +941,39 @@ def oracle_sql() -> dict[str, str]:
         "r as (select query_id, vec_id, cos, row_number() over "
         "(partition by query_id order by cos desc, vec_id asc) as rank from scored) "
         "select query_id, vec_id, cos, rank from r where rank <= 5"
+    )
+    # IVF-flat twin: identical md5-stride centroid selection, rounded
+    # argmax cell routing (ulp-safe, see corpus.ivf_cells), n_probe=4,
+    # k=5 — the full route-then-search recomputed natively
+    _c = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)"
+    )
+    o["ann_topk_ivf"] = (
+        "with e as (select vec_id, embedding from embeddings), "
+        "st as (select cast(ceil(count(*) / 16.0) as bigint) as stride from e), "
+        "cn as (select vec_id as cv, embedding as ce from e, st where "
+        + _H60.format(x="cast(vec_id as varchar)")
+        + " % st.stride = 0), "
+        "cents as (select row_number() over (order by cv) - 1 as cell, ce from cn), "
+        "asg0 as (select e.vec_id, c.cell, "
+        + _c.format(a="e.embedding", b="c.ce")
+        + " as cc from e cross join cents c), "
+        "asg as (select vec_id, cell from (select asg0.*, row_number() over "
+        "(partition by vec_id order by cc desc, cell asc) as r from asg0) where r = 1), "
+        "q as (select vec_id as query_id, embedding as qe from e where vec_id < 10), "
+        "qs as (select q.query_id, q.qe, c.cell, "
+        + _c.format(a="q.qe", b="c.ce")
+        + " as cc from q cross join cents c), "
+        "probes as (select query_id, qe, cell from (select qs.*, row_number() over "
+        "(partition by query_id order by cc desc, cell asc) as r from qs) where r <= 4), "
+        "cand as (select p.query_id, e.vec_id, "
+        + _c.format(a="e.embedding", b="p.qe")
+        + " as cos from e join asg using (vec_id) join probes p using (cell) "
+        "where e.vec_id != p.query_id), "
+        "rk as (select query_id, vec_id, cos, row_number() over "
+        "(partition by query_id order by cos desc, vec_id asc) as rank from cand) "
+        "select query_id, vec_id, cos, rank from rk where rank <= 5"
     )
     o["repetition_metrics"] = (
         "with base as (select doc_id, string_split(text,' ') as toks from documents), "

@@ -555,3 +555,83 @@ def dedup_clusters(
         )
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+def ivf_cells(emb: DataFrame, n_centroids: int = 16) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: (centroids, assignments).
+
+    Centroids are a DETERMINISTIC md5-stride sample of the vectors
+    themselves (keep vec_ids whose 60-bit md5 ≡ 0 mod ceil(N/C)) — no
+    iterative k-means, no RNG, no global sort (a row_number over all
+    vectors would single-partition 10^9 rows), and the oracle twin
+    reproduces the exact same cells (same reasoning as the literal LSH
+    hyperplanes).  A trained quantizer would raise recall; the PLAN
+    (broadcast centroids → argmax cell → per-cell search) is identical
+    either way, and the plan is what must survive 100 TB.  The sample is
+    ~C cells, not exactly C (hash selectivity) — fine for routing.
+
+    assignments = (vec_id, cell): each vector joins its max-cosine
+    centroid (tie -> lowest centroid id), via a broadcast join against
+    the ~C-row centroid table — N×C work, never N².
+    """
+    n = emb.count()
+    stride = max(1, (n + n_centroids - 1) // n_centroids)
+    cents = (
+        emb.filter(F.pmod(h60(F.col("vec_id").cast("string")), F.lit(stride)) == 0)
+        .select(F.col("vec_id").alias("c_vec_id"), F.col("embedding").alias("c_embedding"))
+        # cell ids densified over the tiny (~C rows) centroid set only
+        .withColumn("cell", F.row_number().over(Window.orderBy("c_vec_id")) - 1)
+        .drop("c_vec_id")
+    )
+    # routing cosines rounded to 4 before the argmax: near-ties then
+    # resolve by cell id identically on any engine (the float64 summation
+    # ORDER differs between Spark's sequential fold and DuckDB's
+    # list_dot_product — rounding absorbs the ulps, like the ANN twins)
+    scored = emb.join(F.broadcast(cents)).withColumn(
+        "cos_c", F.round(_cosine("embedding", "c_embedding"), 4)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
+    assign = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "cell")
+    )
+    return cents, assign
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: probe the ``n_probe`` nearest cells.
+
+    The second scale path next to LSH (brief: "an IVF or LSH-bucketed
+    variant"): queries route to their n_probe max-cosine cells (broadcast
+    C-row centroid table), then brute-force ONLY within those cells —
+    expected work N·(n_probe/C) per query instead of N.  Same output
+    shape and tie-breaks as :func:`ann_topk_bruteforce`; recall < 1 by
+    construction (tested against the exact baseline).
+    """
+    cents, assign = ivf_cells(emb, n_centroids)
+    q_scored = queries.join(F.broadcast(cents)).withColumn(
+        "cos_c", F.round(_cosine("q_embedding", "c_embedding"), 4)
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cell"))
+    probes = (
+        q_scored.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", "q_embedding", "cell")
+    )
+    cand = emb.join(assign, "vec_id").join(
+        F.broadcast(probes), "cell"
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.withColumn("cos", F.round(_cosine("embedding", "q_embedding"), 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )

@@ -272,3 +272,32 @@ def test_dedup_clusters_end_to_end(spark):
     assert out[0] == (0, True) and out[5] == (0, False) and out[12] == (0, False)
     assert out[3] == (3, True) and out[7] == (7, True)
     assert sum(1 for c, canon in out.values() if canon) == 3
+
+
+def test_ann_ivf_recall_and_exhaustive_probe(spark):
+    """IVF-flat vs the exact baseline: probing a fraction of cells gives
+    partial recall; probing EVERY cell degenerates to the exact search
+    (same rows, same ranks) — the routing loses nothing by itself."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in C.ann_topk_bruteforce(emb, q, k=5).collect()}
+
+    part = {
+        (r["query_id"], r["vec_id"])
+        for r in C.ann_topk_ivf(emb, q, k=5, n_centroids=16, n_probe=4).collect()
+    }
+    recall = len(part & exact) / len(exact)
+    assert 0.3 <= recall <= 1.0, recall
+
+    n_cells = C.ivf_cells(emb, 16)[0].count()
+    full = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in C.ann_topk_ivf(emb, q, k=5, n_centroids=16, n_probe=n_cells).collect()
+    }
+    exact_ranked = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in C.ann_topk_bruteforce(emb, q, k=5).collect()
+    }
+    assert full == exact_ranked, "probing all cells must equal the exact search"
