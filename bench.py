@@ -229,12 +229,16 @@ def main() -> None:
     lo_cores = f"2-{2 + LO_CPUS - 1}"
     hi_cores = f"{2 + LO_CPUS}-{2 + LO_CPUS + HI_CPUS - 1}"
     rounds: list[dict] = []
-    while len(rounds) < MAX_ROUNDS:
+    attempts = 0
+    while len(rounds) < MAX_ROUNDS and attempts < 2 * MAX_ROUNDS:
+        attempts += 1
         elapsed = time.monotonic() - t_scaling0
         if rounds:
             mean_round = sum(r["wall"] for r in rounds) / len(rounds)
             if elapsed + mean_round > budget_s:
                 break  # whole-round admission: never a half round
+        elif elapsed > 2 * budget_s:
+            break  # nothing succeeded and we are far over budget: give up
         t_r0 = time.monotonic()
         sync_dir = tempfile.mkdtemp(prefix="er_sync_")
         procs = {
@@ -250,10 +254,21 @@ def main() -> None:
             time.sleep(0.2)
         with open(os.path.join(sync_dir, "go"), "w") as fh:
             fh.write("1")
-        draws = {c: _join_er(p) for c, p in procs.items()}
-        import shutil as _sh
+        try:
+            draws = {c: _join_er(p) for c, p in procs.items()}
+        except Exception:
+            # a child died (OOM, transient spill-dir failure): lose the
+            # round, not the bench — an artifact with fewer rounds beats
+            # no artifact (the round-2 lesson).  At least one round must
+            # succeed or the error surfaces below when rounds is empty.
+            for p in procs.values():
+                if p.poll() is None:
+                    p.kill()
+            continue
+        finally:
+            import shutil as _sh
 
-        _sh.rmtree(sync_dir, ignore_errors=True)
+            _sh.rmtree(sync_dir, ignore_errors=True)
         thr_lo = draws[LO_CPUS]["docs"] / draws[LO_CPUS]["sec"]
         thr_hi = draws[HI_CPUS]["docs"] / draws[HI_CPUS]["sec"]
         raw_eff = (thr_hi / thr_lo) / (HI_CPUS / LO_CPUS)
@@ -275,6 +290,8 @@ def main() -> None:
         os.system("sync")
         time.sleep(2)
 
+    if not rounds:
+        raise RuntimeError("scaling: no paired round completed (children kept failing)")
     thr = {
         LO_CPUS: max(r["thr_lo"] for r in rounds),
         HI_CPUS: max(r["thr_hi"] for r in rounds),
