@@ -197,6 +197,49 @@ def _join_er(proc) -> dict:
     return json.loads(out.decode().strip().splitlines()[-1])
 
 
+def multijvm_round(replicate_per_cpu: int | None = None) -> dict:
+    """One executor-model control round: 1 vs 4 identical local[2] JVMs,
+    all five concurrent behind one barrier (tools/scaling_multijvm.py
+    runs several; bench embeds one when budget allows).  Every process
+    faces four equal-size neighbors — the headline protocol's co-run
+    asymmetry vanishes by construction — and with equal per-JVM input
+    the efficiency reduces to lo_wall / max(hi_walls): the 4N level is
+    as fast as its slowest executor, straggler included."""
+    import shutil
+    import tempfile
+
+    reps = (replicate_per_cpu or REPLICATE_PER_CPU) * 2
+    sync_dir = tempfile.mkdtemp(prefix="er_mj_")
+    procs = {"lo": _er_popen(2, reps, cores="2-3", sync_dir=sync_dir)}
+    for i in range(4):
+        start = 4 + 2 * i
+        procs[f"hi{i}"] = _er_popen(2, reps, cores=f"{start}-{start + 1}", sync_dir=sync_dir)
+    t0 = time.monotonic()
+    while len([f for f in os.listdir(sync_dir) if f.startswith("ready_")]) < 5:
+        if time.monotonic() - t0 > 360:
+            break
+        time.sleep(0.2)
+    with open(os.path.join(sync_dir, "go"), "w") as fh:
+        fh.write("1")
+    try:
+        draws = {k: _join_er(p) for k, p in procs.items()}
+    finally:
+        for p in procs.values():
+            if p.poll() is None:
+                p.kill()
+        shutil.rmtree(sync_dir, ignore_errors=True)
+    lo_wall = draws["lo"]["sec"]
+    hi_walls = [draws[f"hi{i}"]["sec"] for i in range(4)]
+    docs = draws["lo"]["docs"]
+    return {
+        "eff": round(lo_wall / max(hi_walls), 3),
+        "lo_docs_per_sec": round(docs / lo_wall, 1),
+        "hi_agg_docs_per_sec": round(4 * docs / max(hi_walls), 1),
+        "lo_wall": round(lo_wall, 1),
+        "hi_walls": [round(w, 1) for w in hi_walls],
+    }
+
+
 def main() -> None:
     if len(sys.argv) == 4 and sys.argv[1] == "--er-run":
         cpus, replicate = int(sys.argv[2]), int(sys.argv[3])
@@ -228,6 +271,16 @@ def main() -> None:
 
     lo_cores = f"2-{2 + LO_CPUS - 1}"
     hi_cores = f"{2 + LO_CPUS}-{2 + LO_CPUS + HI_CPUS - 1}"
+
+    # the symmetric 1-vs-4-executor control runs FIRST (guaranteed into
+    # the artifact; it corroborates the headline with zero co-run
+    # asymmetry — see multijvm_round / BASELINE.md), then as many v7
+    # rounds as the remaining budget admits
+    try:
+        multijvm: dict | None = multijvm_round()
+    except Exception:
+        multijvm = None  # control is corroboration, never the blocker
+
     rounds: list[dict] = []
     attempts = 0
     while len(rounds) < MAX_ROUNDS and attempts < 2 * MAX_ROUNDS:
@@ -317,6 +370,7 @@ def main() -> None:
                 {
                     "scaling_efficiency": round(efficiency, 3),
                     "scaling_rounds": rounds,
+                    "scaling_multijvm_control": multijvm,
                     "er_curve_docs_per_sec": {str(c): thr[c] for c in curve_levels},
                 }
             )
@@ -387,6 +441,9 @@ def main() -> None:
         "scaling_protocol": "v7-paired-concurrent-rounds",
         "scaling_rounds": rounds,
         "scaling_efficiency_per_round": eff_rounds,
+        # symmetric 1-vs-4-executor control (None when budget was tight);
+        # see BASELINE.md "Executor-model control"
+        "scaling_multijvm_control": multijvm,
         # measured levels (local[32] appears when SPARK_GRAFT_CURVE32=1;
         # see BASELINE.md for the recorded full curve)
         "er_curve_docs_per_sec": {str(c): thr[c] for c in curve_levels},

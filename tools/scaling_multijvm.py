@@ -29,7 +29,6 @@ import json
 import os
 import statistics
 import sys
-import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -38,36 +37,7 @@ import bench  # noqa: E402  (reuses _er_popen/_join_er + the warm/pin machinery)
 
 
 def one_round() -> dict:
-    reps = bench.REPLICATE_PER_CPU * 2
-    sync_dir = tempfile.mkdtemp(prefix="er_mj_")
-    procs = {}
-    procs["lo"] = bench._er_popen(2, reps, cores="2-3", sync_dir=sync_dir)
-    for i in range(4):
-        start = 4 + 2 * i
-        procs[f"hi{i}"] = bench._er_popen(
-            2, reps, cores=f"{start}-{start + 1}", sync_dir=sync_dir
-        )
-    t0 = time.monotonic()
-    while len([f for f in os.listdir(sync_dir) if f.startswith("ready_")]) < 5:
-        if time.monotonic() - t0 > 360:
-            break
-        time.sleep(0.2)
-    with open(os.path.join(sync_dir, "go"), "w") as fh:
-        fh.write("1")
-    draws = {k: bench._join_er(p) for k, p in procs.items()}
-    import shutil
-
-    shutil.rmtree(sync_dir, ignore_errors=True)
-    lo_wall = draws["lo"]["sec"]
-    hi_walls = [draws[f"hi{i}"]["sec"] for i in range(4)]
-    docs = draws["lo"]["docs"]
-    return {
-        "eff": round(lo_wall / max(hi_walls), 3),
-        "lo_docs_per_sec": round(docs / lo_wall, 1),
-        "hi_agg_docs_per_sec": round(4 * docs / max(hi_walls), 1),
-        "hi_walls": [round(w, 1) for w in hi_walls],
-        "lo_wall": round(lo_wall, 1),
-    }
+    return bench.multijvm_round()
 
 
 def main() -> None:
