@@ -339,14 +339,21 @@ class Pipeline:
         src = self._path(stage)
         tmp = src + "__compacting"
         old = src + "__precompact"
-        # recover a crashed previous compaction: a leftover old-dir means
-        # the swap completed but cleanup didn't; a leftover tmp means the
-        # rewrite never committed — drop it
+        # recover a crashed previous compaction:
+        # - leftover tmp: the rewrite never committed — drop it;
+        # - leftover old WITH src present: both swaps completed, cleanup
+        #   didn't — drop old;
+        # - leftover old WITHOUT src: crashed BETWEEN the two renames —
+        #   the original lives only in old: ROLL BACK (never delete it).
         import shutil
 
-        for leftover in (tmp, old):
-            if os.path.exists(leftover):
-                shutil.rmtree(leftover)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        if os.path.exists(old):
+            if os.path.exists(src):
+                shutil.rmtree(old)
+            else:
+                os.replace(old, src)
 
         cur = self.spark.read.parquet(src)
         stats = cur.agg(

@@ -203,3 +203,31 @@ def test_compact_preserves_content_and_resume(spark, kb, webtext_rows, tmp_path_
     # no leftover working directories
     assert not os.path.exists(src + "__compacting")
     assert not os.path.exists(src + "__precompact")
+
+
+def test_compact_recovers_midswap_crash(spark, kb, webtext_df, tmp_path_factory):
+    """A crash BETWEEN compact()'s two directory renames leaves the
+    original table only in <stage>__precompact; the next compact() must
+    roll it back, never delete it (data-destroying failure mode)."""
+    import os
+    import shutil
+
+    ck = str(tmp_path_factory.mktemp("ck_compact_crash"))
+    pipe = Pipeline(spark, kb, ck)
+    pipe.run(webtext_df).count()
+    src = os.path.join(ck, "mentions")
+    before = pipe._load("mentions").toPandas().sort_values(["url", "mention_id"])
+
+    # simulate the mid-swap crash state: src renamed away, tmp half-done
+    os.replace(src, src + "__precompact")
+    os.makedirs(src + "__compacting")
+    with open(os.path.join(src + "__compacting", "junk"), "w") as fh:
+        fh.write("partial")
+
+    n_files = pipe.compact("mentions")
+    assert n_files >= 1
+    after = pipe._load("mentions").toPandas().sort_values(["url", "mention_id"])
+    assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
+    assert not os.path.exists(src + "__precompact")
+    assert not os.path.exists(src + "__compacting")
+    shutil.rmtree(ck)
