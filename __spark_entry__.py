@@ -299,6 +299,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_neardup_lsh"] = embedding_neardup_lsh
 
+    def embedding_neardup_clusters(spark, sf):
+        return C.embedding_neardup_clusters(
+            load_table(spark, sf, "embeddings"), threshold=0.2, dim=64
+        )
+
+    q["embedding_neardup_clusters"] = embedding_neardup_clusters
+
+    def clean_corpus(spark, sf):
+        return C.clean_corpus(_docs(spark, sf), max_shingle_df=DEDUP_MAX_SHINGLE_DF)
+
+    q["clean_corpus"] = clean_corpus
+
     # --- corpus ops: text analysis ----------------------------------------------
     q["repetition_metrics"] = lambda spark, sf: C.repetition_metrics(_docs(spark, sf))
     q["remove_stopwords"] = lambda spark, sf: C.remove_stopwords(_docs(spark, sf))
@@ -889,6 +901,28 @@ def oracle_sql() -> dict[str, str]:
         "n.doc_id = cast(cl.rep as bigint) as is_canonical "
         "from nodes n join cl on n.node = cl.node"
     )
+    # embedding-space clustering twin: LSH signature pairs -> recursive
+    # closure, identical derivation to dedup_clusters over vec_ids
+    o["embedding_neardup_clusters"] = (
+        "with recursive s as (select vec_id, embedding, "
+        + _lsh_sig_sql("embedding")
+        + " as sig from embeddings), "
+        "prs as (select a.vec_id as id_a, b.vec_id as id_b "
+        "from s a join s b on a.sig = b.sig and a.vec_id < b.vec_id "
+        "where round(list_dot_product(a.embedding, b.embedding) / "
+        "(sqrt(list_dot_product(a.embedding, a.embedding)) * "
+        "sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.2), "
+        "nodes as (select lpad(cast(vec_id as varchar), 12, '0') as node, vec_id from embeddings), "
+        "ed as (select lpad(cast(id_a as varchar), 12, '0') as src, "
+        "lpad(cast(id_b as varchar), 12, '0') as dst from prs), "
+        "sym as (select src, dst from ed union select dst, src from ed), "
+        "reach(node, r) as (select node, node from nodes "
+        "union select reach.node, sym.dst from reach join sym on reach.r = sym.src), "
+        "cl as (select node, min(r) as rep from reach group by 1) "
+        "select n.vec_id, cast(cl.rep as bigint) as cluster_id, "
+        "n.vec_id = cast(cl.rep as bigint) as is_canonical "
+        "from nodes n join cl on n.node = cl.node"
+    )
     o["dedup_simhash"] = (
         "with tk as (select distinct doc_id, t.token as token from documents, "
         "unnest(string_split(text,' ')) as t(token)), "
@@ -1004,6 +1038,32 @@ def oracle_sql() -> dict[str, str]:
         "round(n_stop / n, 4) as stopword_ratio, round(alpha / length(text), 4) as alpha_ratio, "
         "round(least(n / 100.0, 1.0) * 0.5 + (1 - n_stop / n) * 0.2 + (alpha / length(text)) * 0.3, 4) as quality "
         "from m"
+    )
+    # the training-corpus composition: quality gates AND canonical-only
+    # dedup survivors — quality CTE nested from the text_quality twin,
+    # cluster rep from the same recursive closure as dedup_clusters
+    o["clean_corpus"] = (
+        f"with recursive sh as ({sh}), shc as ({shc}), "
+        "sig as (select doc_id, h.hash_id, min("
+        + _H60.format(x="concat(h.hash_id, '#', sh)")
+        + ") as minhash from shc, unnest(range(0, 6)) as h(hash_id) group by 1, 2), "
+        "banded as (select doc_id, cast(hash_id // 2 as int) as band, "
+        "string_agg(minhash, '|' order by hash_id) as band_key from sig group by 1, 2), "
+        "prs as (select distinct a.doc_id as doc_a, b.doc_id as doc_b "
+        "from banded a join banded b using (band, band_key) where a.doc_id < b.doc_id), "
+        "nodes as (select lpad(cast(doc_id as varchar), 12, '0') as node, doc_id from documents), "
+        "ed as (select lpad(cast(doc_a as varchar), 12, '0') as src, "
+        "lpad(cast(doc_b as varchar), 12, '0') as dst from prs), "
+        "sym as (select src, dst from ed union select dst, src from ed), "
+        "reach(node, r) as (select node, node from nodes "
+        "union select reach.node, sym.dst from reach join sym on reach.r = sym.src), "
+        "cl as (select node, min(r) as rep from reach group by 1), "
+        f"tq as ({o['text_quality']}) "
+        "select d.doc_id, d.lang, tq.quality, cast(cl.rep as bigint) as cluster_id "
+        "from documents d join tq using (doc_id) "
+        "join nodes n on n.doc_id = d.doc_id join cl on cl.node = n.node "
+        "where tq.n_tokens >= 5 and tq.alpha_ratio >= 0.5 "
+        "and tq.stopword_ratio <= 0.9 and d.doc_id = cast(cl.rep as bigint)"
     )
     o["token_counts"] = (
         "select doc_id, len(string_split(text, ' ')) as ws_tokens, "

@@ -635,3 +635,60 @@ def ann_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    min_alpha_ratio: float = 0.5,
+    max_stopword_ratio: float = 0.9,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """The end-of-pipeline composition: quality gates + near-dup removal
+    -> the documents that actually enter a training corpus.
+
+    (doc_id, text, lang, quality, cluster_id): rows survive iff they pass
+    the Gopher-style quality thresholds AND are the canonical member of
+    their near-duplicate cluster (:func:`dedup_clusters` — non-canonical
+    members are the rows a 100 TB dedup pass drops).  Both inputs reuse
+    the already-tested operators; the join with the cluster table is on
+    doc_id (no new shuffle shape).
+    """
+    q = text_quality(docs)
+    cl = dedup_clusters(docs, max_shingle_df=max_shingle_df)
+    return (
+        docs.join(q.select("doc_id", "n_tokens", "stopword_ratio", "alpha_ratio", "quality"), "doc_id")
+        .join(cl, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("alpha_ratio") >= min_alpha_ratio)
+            & (F.col("stopword_ratio") <= max_stopword_ratio)
+            & F.col("is_canonical")
+        )
+        .select("doc_id", "lang", "quality", "cluster_id")
+    )
+
+
+def embedding_neardup_clusters(
+    emb: DataFrame, threshold: float = 0.8, n_planes: int = 8, dim: int = 64
+) -> DataFrame:
+    """Embedding-space twin of :func:`dedup_clusters`: LSH near-dup pairs
+    -> connected components -> (vec_id, cluster_id, is_canonical).
+
+    Same zero-padded numeric component-min rule, same scale shape
+    (signature equi-join feeds CC, never all-pairs)."""
+    from nilinker_spark.operators.clustering import connected_components
+
+    pairs = embedding_neardup_lsh(emb, threshold, n_planes, dim)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    edges = pairs.select(pad("id_a").alias("src"), pad("id_b").alias("dst"))
+    labels = connected_components(edges)
+    ids = emb.select(pad("vec_id").alias("node"), F.col("vec_id"))
+    return (
+        ids.join(labels, "node", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("label"), F.col("node")).cast("bigint").alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("vec_id") == F.col("cluster_id"))
+    )

@@ -301,3 +301,36 @@ def test_ann_ivf_recall_and_exhaustive_probe(spark):
         for r in C.ann_topk_bruteforce(emb, q, k=5).collect()
     }
     assert full == exact_ranked, "probing all cells must equal the exact search"
+
+
+def test_clean_corpus_filters_and_dedups(spark):
+    """clean_corpus keeps exactly: quality-passing AND canonical docs."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, "en"),                       # canonical of the dup pair
+        (2, base, "en"),                       # near-dup -> dropped
+        (3, "x", "en"),                        # too short -> dropped
+        (4, "!!! ??? ***** &&&& %%% #### @@@ ^^^ ((( )))", "en"),  # non-alpha
+        (5, "the quick brown fox jumps over the lazy dog today", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r["cluster_id"] for r in C.clean_corpus(docs).collect()}
+    assert set(out) == {1, 5}
+    assert out[1] == 1 and out[5] == 5
+
+
+def test_embedding_neardup_clusters_identical_vectors(spark):
+    """Identical vectors share every hyperplane sign -> one cluster with
+    the numeric-min canonical; distinct vectors stay singletons."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    v1 = [float(x) for x in rng.normal(size=64)]
+    v2 = [float(x) for x in rng.normal(size=64)]
+    emb = spark.createDataFrame(
+        [(7, v1), (3, v1), (9, v2)], "vec_id long, embedding array<float>"
+    )
+    out = {r["vec_id"]: (r["cluster_id"], r["is_canonical"]) for r in
+           C.embedding_neardup_clusters(emb, threshold=0.9).collect()}
+    assert out[3] == (3, True) and out[7] == (3, False)
+    assert out[9] == (9, True)
