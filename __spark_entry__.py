@@ -890,9 +890,9 @@ def oracle_sql() -> dict[str, str]:
         "string_agg(minhash, '|' order by hash_id) as band_key from sig group by 1, 2), "
         "prs as (select distinct a.doc_id as doc_a, b.doc_id as doc_b "
         "from banded a join banded b using (band, band_key) where a.doc_id < b.doc_id), "
-        "nodes as (select lpad(cast(doc_id as varchar), 12, '0') as node, doc_id from documents), "
-        "ed as (select lpad(cast(doc_a as varchar), 12, '0') as src, "
-        "lpad(cast(doc_b as varchar), 12, '0') as dst from prs), "
+        "nodes as (select lpad(cast(doc_id as varchar), 20, '0') as node, doc_id from documents), "
+        "ed as (select lpad(cast(doc_a as varchar), 20, '0') as src, "
+        "lpad(cast(doc_b as varchar), 20, '0') as dst from prs), "
         "sym as (select src, dst from ed union select dst, src from ed), "
         "reach(node, r) as (select node, node from nodes "
         "union select reach.node, sym.dst from reach join sym on reach.r = sym.src), "
@@ -912,9 +912,9 @@ def oracle_sql() -> dict[str, str]:
         "where round(list_dot_product(a.embedding, b.embedding) / "
         "(sqrt(list_dot_product(a.embedding, a.embedding)) * "
         "sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.2), "
-        "nodes as (select lpad(cast(vec_id as varchar), 12, '0') as node, vec_id from embeddings), "
-        "ed as (select lpad(cast(id_a as varchar), 12, '0') as src, "
-        "lpad(cast(id_b as varchar), 12, '0') as dst from prs), "
+        "nodes as (select lpad(cast(vec_id as varchar), 20, '0') as node, vec_id from embeddings), "
+        "ed as (select lpad(cast(id_a as varchar), 20, '0') as src, "
+        "lpad(cast(id_b as varchar), 20, '0') as dst from prs), "
         "sym as (select src, dst from ed union select dst, src from ed), "
         "reach(node, r) as (select node, node from nodes "
         "union select reach.node, sym.dst from reach join sym on reach.r = sym.src), "
@@ -1051,9 +1051,9 @@ def oracle_sql() -> dict[str, str]:
         "string_agg(minhash, '|' order by hash_id) as band_key from sig group by 1, 2), "
         "prs as (select distinct a.doc_id as doc_a, b.doc_id as doc_b "
         "from banded a join banded b using (band, band_key) where a.doc_id < b.doc_id), "
-        "nodes as (select lpad(cast(doc_id as varchar), 12, '0') as node, doc_id from documents), "
-        "ed as (select lpad(cast(doc_a as varchar), 12, '0') as src, "
-        "lpad(cast(doc_b as varchar), 12, '0') as dst from prs), "
+        "nodes as (select lpad(cast(doc_id as varchar), 20, '0') as node, doc_id from documents), "
+        "ed as (select lpad(cast(doc_a as varchar), 20, '0') as src, "
+        "lpad(cast(doc_b as varchar), 20, '0') as dst from prs), "
         "sym as (select src, dst from ed union select dst, src from ed), "
         "reach(node, r) as (select node, node from nodes "
         "union select reach.node, sym.dst from reach join sym on reach.r = sym.src), "

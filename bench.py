@@ -329,6 +329,10 @@ def main() -> None:
             {
                 "thr_lo": round(thr_lo, 1),
                 "thr_hi": round(thr_hi, 1),
+                # measured input sizes from the children (ADVICE r3: never
+                # derive docs from a hardcoded per-sf row count)
+                "docs_lo": draws[LO_CPUS]["docs"],
+                "docs_hi": draws[HI_CPUS]["docs"],
                 # no superlinear scaling exists in this job: a ratio above
                 # 1.0 is residual co-run bias (the big neighbor depresses
                 # the small level relatively more in deep-slow windows,
@@ -429,10 +433,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
-        # per-level input sizes (docs); throughput normalizes the
-        # difference — see protocol v6 note 1
-        "er_docs": rep_hi * 5000,
-        "er_docs_by_level": {str(LO_CPUS): rep_lo * 5000, str(HI_CPUS): rep_hi * 5000},
+        # per-level input sizes as MEASURED by the children (webtext.count
+        # after replication — correct for any SPARK_GRAFT_SF_DIR, ADVICE
+        # r3); throughput normalizes the difference — see protocol v6 note 1
+        "er_docs": rounds[-1]["docs_hi"],
+        "er_docs_by_level": {
+            str(LO_CPUS): rounds[-1]["docs_lo"],
+            str(HI_CPUS): rounds[-1]["docs_hi"],
+        },
         "er_docs_per_sec_lo": thr[LO_CPUS],
         "er_docs_per_sec_hi": thr[HI_CPUS],
         "lo_cpus": LO_CPUS,

@@ -138,11 +138,14 @@ def jaro_winkler_batch(a_list, b_list, p: float = 0.1, max_prefix: int = 4):
     def _mat(strs, lens, width):
         # one flat utf-32 encode for the whole batch, scattered into the
         # padded matrix in row-major order (mask assignment order ==
-        # concatenation order)
+        # concatenation order).  Codepoints are stored OFFSET BY +1 so 0
+        # uniquely means padding: U+0000 in a real string must still count
+        # toward the common-prefix bonus (ADVICE r3 — the un-offset matrix
+        # treated NUL chars as pads, shortening the prefix vs the scalar).
         m = np.zeros((len(strs), width), dtype=np.uint32)
         flat = np.frombuffer("".join(strs).encode("utf-32-le"), dtype=np.uint32)
         mask = np.arange(width, dtype=np.int64)[None, :] < lens[:, None]
-        m[mask] = flat
+        m[mask] = flat + 1
         return m
 
     la = np.fromiter((len(s) for s in a_list), dtype=np.int64, count=n)

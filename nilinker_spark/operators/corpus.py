@@ -26,6 +26,52 @@ from pyspark.sql import functions as F
 # shared primitives
 # ---------------------------------------------------------------------------
 
+# Numeric-id node keys for the CC-based clustering operators: zero-pad to
+# 20 chars so lexicographic order == numeric order for the FULL bigint
+# range (19 digits).  lpad TRUNCATES over-long inputs, so the previous
+# 12-char pad would have collided doc_ids >= 10^12 into one node key
+# (ADVICE r3) — exactly the scale the operators claim.  The DuckDB twins
+# pad identically.
+_NODE_PAD = 20
+
+
+def _pad_id(col: str) -> F.Column:
+    return F.lpad(F.col(col).cast("string"), _NODE_PAD, "0")
+
+
+# Ownership registry for frames these operators persist (hot-shingle dims,
+# shingle/band tables — multi-consumer intermediates that Spark will not
+# exchange-reuse, see ngram_jaccard_pairs).  persist() entries live in the
+# session's cacheManager until unpersisted, so a long session looping
+# corpus queries (the oracle gate, a notebook) would otherwise accumulate
+# them (ADVICE r3).  Callers that batch many queries call
+# :func:`release_caches` between/after them; one-shot callers may rely on
+# session teardown.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every frame a corpus operator persisted in this process;
+    returns how many were released.  Safe to call at any time — the
+    DataFrames remain valid (recompute on next use)."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped
+            pass
+        n += 1
+    return n
+
 
 def h60(col, width: int = 15) -> F.Column:
     """Up-to-60-bit integer hash reproducible in DuckDB (see module docstring).
@@ -93,14 +139,13 @@ def cap_shingle_df(sh: DataFrame, max_df: int, metrics_out: dict | None = None) 
     No silent truncation: pass ``metrics_out`` to receive the dropped
     (sh, df) frame — the dedup twin of pairs.py's block salt_metrics.
     """
-    from pyspark import StorageLevel
-
     df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
     # the hot dim is tiny (shingles with df > max_df) but derives from a
     # corpus-sized groupBy — persist it so the capped table's several
     # consumers don't each redo that shuffle (exchange reuse does not
-    # survive the per-consumer projections; measured)
-    hot = df_counts.filter(F.col("df") > max_df).persist(StorageLevel.MEMORY_AND_DISK)
+    # survive the per-consumer projections; measured).  Registered in
+    # _PERSISTED: release via release_caches() (ADVICE r3 leak class).
+    hot = _persist(df_counts.filter(F.col("df") > max_df))
     if metrics_out is not None:
         metrics_out["hot_shingles"] = hot
     return sh.join(hot.select("sh"), "sh", "left_anti")
@@ -128,11 +173,9 @@ def ngram_jaccard_pairs(
     ``persist_shingles=False`` to keep the operator allocation-free
     (callers that persist/write the shingle table themselves).
     """
-    from pyspark import StorageLevel
-
     sh = shingles(docs, k)
     if persist_shingles:
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = _persist(sh)
     # cap AFTER the persist: the df-count and the anti-join then read the
     # persisted shingle table instead of re-scanning the corpus (measured
     # ~1.5x on the contract query when ordered the other way)
@@ -172,9 +215,7 @@ def minhash_signatures(
     the hash explosion — persisting beats three corpus scans."""
     sh = shingles(docs)
     if max_shingle_df is not None:
-        from pyspark import StorageLevel
-
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = _persist(sh)
         sh = cap_shingle_df(sh, max_shingle_df, metrics_out)
     hs = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("hash_id")
     salted = sh.select("doc_id", "sh", hs)
@@ -204,8 +245,6 @@ def minhash_lsh_pairs(
     :func:`ngram_jaccard_pairs` it is persisted by default so the
     shingle→minhash chain (the expensive part) runs once, not twice.
     """
-    from pyspark import StorageLevel
-
     sig = minhash_signatures(docs, n_hashes, max_shingle_df=max_shingle_df, metrics_out=metrics_out)
     banded = (
         sig.withColumn("band", F.floor(F.col("hash_id") / band_size).cast("int"))
@@ -215,7 +254,7 @@ def minhash_lsh_pairs(
         .select("doc_id", "band", "band_key")
     )
     if persist_bands:
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        banded = _persist(banded)
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (
@@ -543,7 +582,7 @@ def dedup_clusters(
     pairs = minhash_lsh_pairs(
         docs, n_hashes, band_size, max_shingle_df=max_shingle_df, metrics_out=metrics_out
     )
-    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    pad = _pad_id  # 20-char zero-pad: numeric order for the full bigint range
     edges = pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
     labels = connected_components(edges)
     ids = docs.select(pad("doc_id").alias("node"), F.col("doc_id"))
@@ -680,7 +719,7 @@ def embedding_neardup_clusters(
     from nilinker_spark.operators.clustering import connected_components
 
     pairs = embedding_neardup_lsh(emb, threshold, n_planes, dim)
-    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    pad = _pad_id  # 20-char zero-pad: numeric order for the full bigint range
     edges = pairs.select(pad("id_a").alias("src"), pad("id_b").alias("dst"))
     labels = connected_components(edges)
     ids = emb.select(pad("vec_id").alias("node"), F.col("vec_id"))

@@ -334,3 +334,38 @@ def test_embedding_neardup_clusters_identical_vectors(spark):
            C.embedding_neardup_clusters(emb, threshold=0.9).collect()}
     assert out[3] == (3, True) and out[7] == (3, False)
     assert out[9] == (9, True)
+
+
+def test_release_caches_empties_cache_manager(spark, docs):
+    """ADVICE r3: corpus operators register every persist() in a module
+    registry; release_caches() must leave the catalog cacheManager empty
+    (the leak class — persisted frames survive until unpersisted, and a
+    session looping corpus queries would accumulate them)."""
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cache_mgr.isEmpty()
+    # both the capped-shingle chain (raw sh + hot dim) and the band table
+    C.minhash_lsh_pairs(docs, max_shingle_df=3).count()
+    C.ngram_jaccard_pairs(docs, max_shingle_df=3).count()
+    assert not cache_mgr.isEmpty()
+    assert C.release_caches() >= 3
+    assert cache_mgr.isEmpty()
+
+
+def test_cluster_node_pad_covers_bigint(spark):
+    """ADVICE r3: lpad TRUNCATES over-long inputs — doc_ids >= 10^12 must
+    not collide into one node key.  Two far-apart huge ids must stay
+    distinct singleton clusters, and the canonical rule still holds."""
+    rows = [
+        (10**12, "alpha beta gamma delta epsilon zeta", "en", "s", 30),
+        (10**12 + 7, "totally unrelated words appear in this one", "en", "s", 40),
+        (10**15, "alpha beta gamma delta epsilon zeta", "en", "s", 30),  # dup of 10^12
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in C.dedup_clusters(docs).collect()}
+    assert out[10**12] == (10**12, True)
+    assert out[10**15] == (10**12, False)  # clusters with the min id, not a truncated key
+    assert out[10**12 + 7] == (10**12 + 7, True)
+    C.release_caches()

@@ -122,8 +122,8 @@ def test_extract_mentions_gates_are_exact(doc_words, gaz_surfaces):
 @given(
     st.lists(
         st.tuples(
-            st.text(alphabet="abcdefg üé日", max_size=14),
-            st.text(alphabet="abcdefg üé日", max_size=14),
+            st.text(alphabet="abcdefg üé日\x00", max_size=14),
+            st.text(alphabet="abcdefg üé日\x00", max_size=14),
         ),
         max_size=40,
     )
@@ -131,7 +131,9 @@ def test_extract_mentions_gates_are_exact(doc_words, gaz_surfaces):
 @settings(max_examples=150, deadline=None)
 def test_jaro_winkler_batch_bit_exact_vs_scalar(pairs):
     """The numpy-vectorized scoring hot path must equal the pure-Python
-    oracle twin bit-for-bit on arbitrary unicode inputs."""
+    oracle twin bit-for-bit on arbitrary unicode inputs — including NUL
+    characters, which the padded matrix must not mistake for padding
+    (ADVICE r3: codepoints are stored +1 so 0 uniquely means pad)."""
     import numpy as np
 
     from nilinker_spark.functions.similarity import jaro_winkler, jaro_winkler_batch

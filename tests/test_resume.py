@@ -231,3 +231,84 @@ def test_compact_recovers_midswap_crash(spark, kb, webtext_df, tmp_path_factory)
     assert not os.path.exists(src + "__precompact")
     assert not os.path.exists(src + "__compacting")
     shutil.rmtree(ck)
+
+
+def test_incremental_crash_then_different_batch(spark, kb, webtext_rows, tmp_path_factory):
+    """ADVICE r3 (medium): batch A crashes mid-call (after the mentions
+    append, before phrase_vecs); the NEXT call is a DIFFERENT batch B.
+    B's entry scan must roll A's partial append back — otherwise A's
+    mention rows are baked in while their forms never reach phrase_vecs,
+    and the inner join silently drops those mentions.  Afterwards
+    re-applying A converges to the full-corpus scratch run."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+        ]
+    )
+    third = len(webtext_rows) // 3
+    rows_base = webtext_rows[:third]
+    rows_a = webtext_rows[third : 2 * third]
+    rows_b = webtext_rows[2 * third :]
+    df_base = spark.createDataFrame(rows_base, schema)
+    df_a = spark.createDataFrame(rows_a, schema)
+    df_b = spark.createDataFrame(rows_b, schema)
+
+    ck = str(tmp_path_factory.mktemp("ck_inc_cross"))
+    pipe = Pipeline(spark, kb, ck)
+    pipe.run(df_base).count()
+
+    real_append = Pipeline._checkpoint_append
+    calls = {"n": 0}
+
+    def crashing(self, stage, df):
+        real_append(self, stage, df)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated mid-call crash")
+
+    Pipeline._checkpoint_append = crashing
+    try:
+        with pytest.raises(RuntimeError, match="simulated"):
+            pipe.run_incremental(df_a)
+    finally:
+        Pipeline._checkpoint_append = real_append
+
+    # batch B (different batch id) must first roll A's partial append back
+    inc_b = pipe.run_incremental(df_b).toPandas()
+    ck_scr = str(tmp_path_factory.mktemp("ck_scr_base_b"))
+    scratch_b = (
+        Pipeline(spark, kb, ck_scr)
+        .run(spark.createDataFrame(rows_base + rows_b, schema))
+        .toPandas()
+    )
+    key = ["url", "mention_id", "pos"]
+    a = inc_b.sort_values(key).reset_index(drop=True)
+    b = scratch_b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b), "batch A's partial append leaked into batch B"
+    assert (a["cluster_id"].values == b["cluster_id"].values).all()
+    # A's urls are fully gone from the mentions table
+    a_urls = {r[0] for r in rows_a}
+    m_urls = {
+        r["url"]
+        for r in spark.read.parquet(f"{ck}/mentions").select("url").distinct().collect()
+    }
+    assert not (a_urls & m_urls), "rolled-back batch left mention rows behind"
+
+    # re-applying A afterwards converges to the full-corpus scratch run
+    inc_a = pipe.run_incremental(df_a).toPandas()
+    ck_all = str(tmp_path_factory.mktemp("ck_scr_all"))
+    scratch_all = (
+        Pipeline(spark, kb, ck_all)
+        .run(spark.createDataFrame(list(webtext_rows), schema))
+        .toPandas()
+    )
+    x = inc_a.sort_values(key).reset_index(drop=True)
+    y = scratch_all.sort_values(key).reset_index(drop=True)
+    assert len(x) == len(y)
+    assert (x["cluster_id"].values == y["cluster_id"].values).all()

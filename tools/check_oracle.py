@@ -70,6 +70,13 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name:24s} spark error: {exc}")
             continue
+        finally:
+            # corpus operators persist multi-consumer intermediates and
+            # hand ownership out (corpus.release_caches); a 50-query
+            # session would otherwise accumulate cacheManager entries
+            from nilinker_spark.operators.corpus import release_caches
+
+            release_caches()
         dt = time.monotonic() - t0
         if name not in osql:
             print(f"rows  {name:24s} {len(sdf):8d} rows  {dt:5.1f}s (no oracle — rows-only)")
