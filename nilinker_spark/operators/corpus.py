@@ -596,24 +596,58 @@ def dedup_clusters(
     )
 
 
-def ivf_cells(emb: DataFrame, n_centroids: int = 16) -> tuple[DataFrame, DataFrame]:
+def _ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): each vector joins its max-cosine centroid (tie ->
+    lowest cell id) via a broadcast join against the ~C-row centroid
+    table — N×C work, never N².
+
+    Routing cosines are rounded to 4 before the argmax: near-ties then
+    resolve by cell id identically on any engine (the float64 summation
+    ORDER differs between Spark's sequential fold and DuckDB's
+    list_dot_product — rounding absorbs the ulps, like the ANN twins)."""
+    scored = emb.join(F.broadcast(cents)).withColumn(
+        "cos_c", F.round(_cosine("embedding", "c_embedding"), 4)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def ivf_cells(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    lloyd_iters: int = 0,
+    emb_count: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: (centroids, assignments).
 
-    Centroids are a DETERMINISTIC md5-stride sample of the vectors
+    Seed centroids are a DETERMINISTIC md5-stride sample of the vectors
     themselves (keep vec_ids whose 60-bit md5 ≡ 0 mod ceil(N/C)) — no
-    iterative k-means, no RNG, no global sort (a row_number over all
-    vectors would single-partition 10^9 rows), and the oracle twin
-    reproduces the exact same cells (same reasoning as the literal LSH
-    hyperplanes).  A trained quantizer would raise recall; the PLAN
-    (broadcast centroids → argmax cell → per-cell search) is identical
-    either way, and the plan is what must survive 100 TB.  The sample is
-    ~C cells, not exactly C (hash selectivity) — fine for routing.
+    RNG, no global sort (a row_number over all vectors would
+    single-partition 10^9 rows), and the oracle twin reproduces the exact
+    same cells (same reasoning as the literal LSH hyperplanes).  The
+    sample is ~C cells, not exactly C (hash selectivity) — fine for
+    routing.
 
-    assignments = (vec_id, cell): each vector joins its max-cosine
-    centroid (tie -> lowest centroid id), via a broadcast join against
-    the ~C-row centroid table — N×C work, never N².
+    ``lloyd_iters`` (VERDICT r3 #4) runs that many deterministic Lloyd
+    refinement rounds: current assignment → per-cell component means
+    (posexplode → groupBy (cell, dim) avg → reassemble, all relational;
+    two shuffles per round over the N·d component table) → re-assign.
+    Means are rounded to 6 dp so the float aggregation order cannot leak
+    into the centroids (the determinism rule); a cell that loses every
+    member simply disappears.  The contract query keeps ``lloyd_iters=0``
+    (the seed quantizer is what the DuckDB twin reproduces); the recall
+    lift of one round is measured in tests/test_corpus.py.  The PLAN —
+    broadcast centroids → argmax cell → per-cell search — is identical
+    trained or not, and the plan is what must survive 100 TB.
+
+    ``emb_count``: pass the (often already-known) table size to skip the
+    count job (VERDICT r3 "What's wrong" #3).
     """
-    n = emb.count()
+    n = emb.count() if emb_count is None else emb_count
     stride = max(1, (n + n_centroids - 1) // n_centroids)
     cents = (
         emb.filter(F.pmod(h60(F.col("vec_id").cast("string")), F.lit(stride)) == 0)
@@ -622,19 +656,20 @@ def ivf_cells(emb: DataFrame, n_centroids: int = 16) -> tuple[DataFrame, DataFra
         .withColumn("cell", F.row_number().over(Window.orderBy("c_vec_id")) - 1)
         .drop("c_vec_id")
     )
-    # routing cosines rounded to 4 before the argmax: near-ties then
-    # resolve by cell id identically on any engine (the float64 summation
-    # ORDER differs between Spark's sequential fold and DuckDB's
-    # list_dot_product — rounding absorbs the ulps, like the ANN twins)
-    scored = emb.join(F.broadcast(cents)).withColumn(
-        "cos_c", F.round(_cosine("embedding", "c_embedding"), 4)
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
-    assign = (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "cell")
-    )
+    assign = _ivf_assign(emb, cents)
+    for _ in range(lloyd_iters):
+        comp = emb.join(assign, "vec_id").select(
+            "cell", F.posexplode("embedding").alias("dim", "v")
+        )
+        means = comp.groupBy("cell", "dim").agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("m")
+        )
+        cents = means.groupBy("cell").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("c_embedding")
+        )
+        assign = _ivf_assign(emb, cents)
     return cents, assign
 
 
@@ -644,6 +679,7 @@ def ann_topk_ivf(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate top-k: probe the ``n_probe`` nearest cells.
 
@@ -654,7 +690,7 @@ def ann_topk_ivf(
     shape and tie-breaks as :func:`ann_topk_bruteforce`; recall < 1 by
     construction (tested against the exact baseline).
     """
-    cents, assign = ivf_cells(emb, n_centroids)
+    cents, assign = ivf_cells(emb, n_centroids, lloyd_iters=lloyd_iters)
     q_scored = queries.join(F.broadcast(cents)).withColumn(
         "cos_c", F.round(_cosine("q_embedding", "c_embedding"), 4)
     )
