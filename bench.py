@@ -74,6 +74,19 @@ MAX_ROUNDS = int(os.environ.get("SPARK_GRAFT_MAX_ROUNDS", "6"))
 # JIT/codegen warm size (replicates); measured adequate at 24 in round 2
 WARM_REPLICATE = 24
 
+# Distributed-middle section (VERDICT r3 #1): vocabulary = DIST_GAZ_BASE
+# base bigrams x DIST_VARIANTS per-replicate token variants = 20k distinct
+# forms by default — 10x DRIVER_VOCAB_MAX, so the timed S2-S6 runs the
+# distributed pairs -> Arrow scoring -> CC path that dominates at 10^6+
+# forms.  Replicates are multiples of DIST_VARIANTS at every level (equal
+# vocabulary => the middle's work is IDENTICAL at lo and hi, and its
+# efficiency is the middle-wall ratio over the core ratio).
+DIST_VARIANTS = int(os.environ.get("SPARK_GRAFT_DIST_VARIANTS", "125"))
+DIST_GAZ_BASE = int(os.environ.get("SPARK_GRAFT_DIST_GAZ_BASE", "800"))
+DIST_DOC_LIMIT = int(os.environ.get("SPARK_GRAFT_DIST_DOC_LIMIT", "500"))
+DIST_ROUNDS = int(os.environ.get("SPARK_GRAFT_DIST_ROUNDS", "2"))
+DIST_BUDGET_S = int(os.environ.get("SPARK_GRAFT_DIST_BUDGET_S", "300"))
+
 
 def _fresh_spark(cpus: int):
     from pyspark.sql import SparkSession
@@ -86,30 +99,61 @@ def _fresh_spark(cpus: int):
     return get_spark(master=f"local[{cpus}]", app_name=f"bench_{cpus}", shuffle_partitions=cpus)
 
 
-def _run_er(spark, replicate: int) -> tuple[int, float]:
+def _run_er(spark, replicate: int) -> tuple[int, float, dict]:
     """Flagship ER pipeline over webtext derived from documents; returns
-    (docs_in, steady-state wall_sec).
+    (docs_in, steady-state wall_sec, stage_walls of the best run).
 
     One small untimed pass first: it forks + imports the python worker
     pool and JITs the codegen — cluster warm-up is not throughput.
+
+    Env ``SPARK_GRAFT_VOCAB_VARIANTS`` = V > 1 switches to the
+    DISTRIBUTED-MIDDLE workload (VERDICT r3 #1): per-replicate token
+    variants expand the vocabulary to SPARK_GRAFT_GAZ_BASE x V distinct
+    forms (>> DRIVER_VOCAB_MAX), forcing S2-S6 off the driver fast path;
+    the returned stage walls report the middle's own wall so its scaling
+    is measured directly, not inferred from the extraction-dominated
+    total.  Callers keep replicate a multiple of V (equal vocabulary at
+    every level).
     """
     from nilinker_spark.fixtures.kb import make_kb
     from nilinker_spark.pipeline import resolve
     from nilinker_spark.sources.webtext import (
         gazetteer_from_documents,
         load_table,
+        varied_gazetteer,
         webtext_from_documents,
     )
 
     docs = load_table(spark, SF_DIR, "documents")
-    gazetteer = gazetteer_from_documents(docs)
+    vocab_variants = int(os.environ.get("SPARK_GRAFT_VOCAB_VARIANTS", "1"))
+    gaz_base = int(os.environ.get("SPARK_GRAFT_GAZ_BASE", "800"))
+    if vocab_variants > 1:
+        gazetteer = varied_gazetteer(docs, top_n=gaz_base, variants=vocab_variants)
+        # the variant workload exists to measure the VOCABULARY middle;
+        # a doc slice keeps the corpus stage within budget while every
+        # base bigram (hence the full vocabulary) stays present
+        doc_limit = int(os.environ.get("SPARK_GRAFT_DIST_DOC_LIMIT", "0"))
+        if doc_limit:
+            docs = docs.limit(doc_limit)
+    else:
+        gazetteer = gazetteer_from_documents(docs)
     kb = make_kb(seed=42)
 
     # in-process warm: large enough to JIT/codegen-compile the whole
     # pipeline shape to steady state (replicate=1 was measured too small —
-    # the first timed run then carries ~2x warm-up cost)
+    # the first timed run then carries ~2x warm-up cost).  The variant
+    # workload warms on a small doc slice but with ALL variants so the
+    # warm pass compiles the DISTRIBUTED middle shape it will measure.
     warm_handle: list = []
-    warm = webtext_from_documents(docs, replicate=max(1, min(WARM_REPLICATE, replicate)))
+    if vocab_variants > 1:
+        # small doc slice x ALL variants: the warm vocabulary still
+        # exceeds DRIVER_VOCAB_MAX, so the warm pass compiles the same
+        # DISTRIBUTED middle shapes the timed run uses, at ~1/25 the rows
+        warm = webtext_from_documents(
+            docs.limit(40), replicate=vocab_variants, vocab_variants=vocab_variants
+        )
+    else:
+        warm = webtext_from_documents(docs, replicate=max(1, min(WARM_REPLICATE, replicate)))
     resolve(spark, warm, kb, gazetteer=gazetteer, cache_out=warm_handle).count()
     for df in warm_handle:
         df.unpersist(blocking=True)
@@ -120,7 +164,7 @@ def _run_er(spark, replicate: int) -> tuple[int, float]:
     # these at the scan; the java-row checkpoint can't, so materializing
     # them would double the content bandwidth of every timed run.
     webtext = (
-        webtext_from_documents(docs, replicate=replicate)
+        webtext_from_documents(docs, replicate=replicate, vocab_variants=vocab_variants)
         .select("url", "html", "lang")
         .localCheckpoint(eager=True)
     )
@@ -139,15 +183,53 @@ def _run_er(spark, replicate: int) -> tuple[int, float]:
                 break  # orphaned: measure anyway rather than hang
             time.sleep(0.1)
 
+    # second barrier (distributed-middle rounds): extraction walls differ
+    # between levels and the middles differ ~2x in duration, so aligning
+    # only the RUN starts leaves most of the lo middle un-overlapped and
+    # host noise un-cancelled.  The stage hook parks both children after
+    # extraction and releases their MIDDLE sections together (hook time is
+    # excluded from the stage walls).  Only armed for the first run.
+    hook = None
+    waited = {"s": 0.0}
+    if sync_dir and os.environ.get("SPARK_GRAFT_MID_BARRIER"):
+        armed = {"on": True}
+
+        def hook(stage: str) -> None:  # noqa: ARG001
+            if not armed["on"]:
+                return
+            armed["on"] = False
+            with open(os.path.join(sync_dir, f"mid_ready_{os.getpid()}"), "w") as fh:
+                fh.write("1")
+            t_w0 = time.monotonic()
+            while not os.path.exists(os.path.join(sync_dir, "go_mid")):
+                if time.monotonic() - t_w0 > 300:
+                    break
+                time.sleep(0.1)
+            waited["s"] = time.monotonic() - t_w0
+
     best = float("inf")
+    best_walls: dict = {}
     for _ in range(ER_RUNS):  # best-of-N: the sandbox host is noisy
         handle: list = []
+        sw: dict = {}
         t0 = time.monotonic()
-        resolve(spark, webtext, kb, gazetteer=gazetteer, cache_out=handle).count()
-        best = min(best, time.monotonic() - t0)
+        resolve(
+            spark,
+            webtext,
+            kb,
+            gazetteer=gazetteer,
+            cache_out=handle,
+            stage_walls_out=sw,
+            stage_hook=hook,
+        ).count()
+        # barrier park time is coordination, not work: exclude it
+        sec = time.monotonic() - t0 - waited["s"]
+        waited["s"] = 0.0
+        if sec < best:
+            best, best_walls = sec, sw
         for df in handle:  # caller-owned cache lifetime (no clearCache)
             df.unpersist(blocking=True)
-    return n_docs, best
+    return n_docs, best, best_walls
 
 
 def _er_popen(
@@ -155,6 +237,7 @@ def _er_popen(
     replicate: int,
     cores: str | None = None,
     sync_dir: str | None = None,
+    extra_env: dict | None = None,
 ):
     """Launch one --er-run measurement subprocess (fresh interpreter:
     local-mode Spark shares the driver JVM; back-to-back sessions in one
@@ -169,6 +252,8 @@ def _er_popen(
     env = {**os.environ}
     if sync_dir:
         env["SPARK_GRAFT_SYNC_DIR"] = sync_dir
+    if extra_env:
+        env.update(extra_env)
     # the timed job checkpoints the webtext table in the block manager;
     # size the heap so neither level is GC-bound (the box has 128 GiB),
     # and put shuffle/spill on tmpfs so disk flush latency from the
@@ -240,12 +325,133 @@ def multijvm_round(replicate_per_cpu: int | None = None) -> dict:
     }
 
 
+def distributed_middle_section(lo_cores: str, hi_cores: str) -> dict | None:
+    """Paired-concurrent rounds of the DISTRIBUTED-vocabulary workload
+    (VERDICT r3 #1): same v7 protocol — both levels simultaneous on
+    disjoint pinned cores behind a file barrier — but with a
+    DIST_GAZ_BASE x DIST_VARIANTS-form vocabulary forcing S2-S6 off the
+    driver fast path at both levels.  Reports BOTH the end-to-end docs/s
+    efficiency and the middle's OWN efficiency: the vocabulary is
+    identical at both levels, so middle work is equal and
+    eff_middle = (middle_wall_lo / middle_wall_hi) / (hi_cpus / lo_cpus).
+
+    No multi-JVM control here by design: that protocol partitions the
+    CORPUS across independent executors, each recomputing the full
+    vocabulary middle — it models extraction scaling, not the shared
+    distributed middle this section exists to measure (the single-job
+    lo/hi pair is the right model for a job-wide S2-S6)."""
+    import statistics
+    import tempfile
+
+    dist_env = {
+        "SPARK_GRAFT_VOCAB_VARIANTS": str(DIST_VARIANTS),
+        "SPARK_GRAFT_GAZ_BASE": str(DIST_GAZ_BASE),
+        "SPARK_GRAFT_DIST_DOC_LIMIT": str(DIST_DOC_LIMIT),
+        "SPARK_GRAFT_MID_BARRIER": "1",
+    }
+    # EQUAL docs at both levels (replicate must be a multiple of the
+    # variant count anyway): the section's headline is the MIDDLE
+    # efficiency, computed from middle walls over identical vocabulary
+    # work — per-cpu corpus sizing would only stretch the round wall
+    rep_lo = DIST_VARIANTS
+    rep_hi = DIST_VARIANTS
+    t0 = time.monotonic()
+    rounds: list[dict] = []
+    attempts = 0
+    while len(rounds) < DIST_ROUNDS and attempts < 2 * DIST_ROUNDS:
+        attempts += 1
+        elapsed = time.monotonic() - t0
+        if rounds:
+            mean_round = sum(r["wall"] for r in rounds) / len(rounds)
+            if elapsed + mean_round > DIST_BUDGET_S:
+                break
+        elif elapsed > 2 * DIST_BUDGET_S:
+            break
+        t_r0 = time.monotonic()
+        sync_dir = tempfile.mkdtemp(prefix="er_dist_")
+        procs = {
+            LO_CPUS: _er_popen(LO_CPUS, rep_lo, cores=lo_cores, sync_dir=sync_dir, extra_env=dist_env),
+            HI_CPUS: _er_popen(HI_CPUS, rep_hi, cores=hi_cores, sync_dir=sync_dir, extra_env=dist_env),
+        }
+        t_b0 = time.monotonic()
+        while len([f for f in os.listdir(sync_dir) if f.startswith("ready_")]) < 2:
+            if time.monotonic() - t_b0 > 300:
+                break
+            time.sleep(0.2)
+        with open(os.path.join(sync_dir, "go"), "w") as fh:
+            fh.write("1")
+        # second barrier: both children park after extraction; releasing
+        # them together makes the two MIDDLE sections fully overlap (the
+        # hi middle runs entirely inside the lo middle's window), so host
+        # noise is common-mode in the middle-wall ratio
+        t_b1 = time.monotonic()
+        while len([f for f in os.listdir(sync_dir) if f.startswith("mid_ready_")]) < 2:
+            if time.monotonic() - t_b1 > 300:
+                break
+            time.sleep(0.2)
+        with open(os.path.join(sync_dir, "go_mid"), "w") as fh:
+            fh.write("1")
+        try:
+            draws = {c: _join_er(p) for c, p in procs.items()}
+        except Exception:
+            for p in procs.values():
+                if p.poll() is None:
+                    p.kill()
+            continue
+        finally:
+            import shutil as _sh
+
+            _sh.rmtree(sync_dir, ignore_errors=True)
+        lo, hi = draws[LO_CPUS], draws[HI_CPUS]
+        if lo.get("middle_path") != "distributed" or hi.get("middle_path") != "distributed":
+            continue  # misconfigured vocabulary: never report the wrong path
+        ratio = HI_CPUS / LO_CPUS
+        docs_eff = ((hi["docs"] / hi["sec"]) / (lo["docs"] / lo["sec"])) / ratio
+        mid_eff = (lo["middle_s"] / hi["middle_s"]) / ratio
+        rounds.append(
+            {
+                "docs_eff": round(min(docs_eff, 1.0), 3),
+                "docs_eff_raw": round(docs_eff, 3),
+                "middle_eff": round(min(mid_eff, 1.0), 3),
+                "middle_eff_raw": round(mid_eff, 3),
+                "middle_s_lo": round(lo["middle_s"], 2),
+                "middle_s_hi": round(hi["middle_s"], 2),
+                "extract_s_lo": round(lo.get("extract_s", 0.0), 2),
+                "extract_s_hi": round(hi.get("extract_s", 0.0), 2),
+                "docs_lo": lo["docs"],
+                "docs_hi": hi["docs"],
+                "n_forms": lo.get("n_forms"),
+                "wall": round(time.monotonic() - t_r0, 1),
+            }
+        )
+        os.system("sync")
+        time.sleep(2)
+    if not rounds:
+        return None
+    n_forms = rounds[-1]["n_forms"] or DIST_GAZ_BASE * DIST_VARIANTS
+    return {
+        "n_forms": n_forms,
+        "middle_path": "distributed",
+        "middle_efficiency": statistics.median(r["middle_eff"] for r in rounds),
+        "docs_efficiency": statistics.median(r["docs_eff"] for r in rounds),
+        # best (fastest) middle wall per level -> peak forms/sec
+        "middle_forms_per_sec_lo": round(n_forms / min(r["middle_s_lo"] for r in rounds), 1),
+        "middle_forms_per_sec_hi": round(n_forms / min(r["middle_s_hi"] for r in rounds), 1),
+        "rounds": rounds,
+        "protocol": "v7-paired-concurrent-rounds (equal vocabulary per level)",
+    }
+
+
 def main() -> None:
     if len(sys.argv) == 4 and sys.argv[1] == "--er-run":
         cpus, replicate = int(sys.argv[2]), int(sys.argv[3])
         spark = _fresh_spark(cpus)
-        n_docs, sec = _run_er(spark, replicate)
-        print(json.dumps({"docs": n_docs, "sec": sec}))
+        n_docs, sec, walls = _run_er(spark, replicate)
+        out = {"docs": n_docs, "sec": sec}
+        for k in ("extract_s", "middle_s", "n_forms", "middle_path"):
+            if k in walls:
+                out[k] = round(walls[k], 3) if isinstance(walls[k], float) else walls[k]
+        print(json.dumps(out))
         spark.stop()
         return
 
@@ -368,6 +574,13 @@ def main() -> None:
     eff_rounds = [r["eff"] for r in rounds]
     efficiency = statistics.median(eff_rounds)
 
+    # distributed-middle section (VERDICT r3 #1): own budget, after the
+    # headline pair so a slow host degrades it first, never the gate
+    try:
+        dist: dict | None = distributed_middle_section(lo_cores, hi_cores)
+    except Exception:
+        dist = None
+
     if os.environ.get("SPARK_GRAFT_SCALING_ONLY"):
         print(
             json.dumps(
@@ -375,6 +588,7 @@ def main() -> None:
                     "scaling_efficiency": round(efficiency, 3),
                     "scaling_rounds": rounds,
                     "scaling_multijvm_control": multijvm,
+                    "scaling_distributed_middle": dist,
                     "er_curve_docs_per_sec": {str(c): thr[c] for c in curve_levels},
                 }
             )
@@ -452,6 +666,10 @@ def main() -> None:
         # symmetric 1-vs-4-executor control (None when budget was tight);
         # see BASELINE.md "Executor-model control"
         "scaling_multijvm_control": multijvm,
+        # the 20k-form workload that forces S2-S6 off the driver fast
+        # path — the measured scaling of the distributed vocabulary
+        # middle (VERDICT r3 #1); see BASELINE.md round-4 notes
+        "scaling_distributed_middle": dist,
         # measured levels (local[32] appears when SPARK_GRAFT_CURVE32=1;
         # see BASELINE.md for the recorded full curve)
         "er_curve_docs_per_sec": {str(c): thr[c] for c in curve_levels},

@@ -84,13 +84,66 @@ def resolve_tokens(spark: SparkSession, forms: DataFrame, kb: KBFixture) -> Data
     return exact.unionByName(fuzzy)
 
 
-def phrase_vectors_df(spark: SparkSession, forms: DataFrame, kb: KBFixture) -> DataFrame:
+def prefuzz_map(spark: SparkSession, forms: DataFrame, kb: KBFixture) -> dict[str, int]:
+    """Resolve every distinct OOV token of ``forms`` to its fuzzy word id
+    EXACTLY ONCE across the cluster; returns {token: word_id}.
+
+    The per-worker memo in :func:`phrase_vectors_df` de-duplicates fuzzy
+    work within one worker but not ACROSS workers: a token appearing in
+    many forms is re-resolved by every worker that sees one of them, so
+    the fuzzy wall is ~(all distinct tokens × ratio scan) PER WORKER —
+    measured flat from 2 to 8 cores at a 10^5-form vocabulary (the
+    dominant pvs cost; fuzzy is ~3 ms/token of pure Python).  Here the
+    distinct OOV token table (vocabulary-bounded, ≤ 2 tokens/form) is
+    resolved by ONE distributed pandas-UDF pass — each token exactly
+    once — and the resulting map broadcasts like the KB itself.  Results
+    are identical by determinism of fuzzy_best_match (forced-path parity
+    tests cover it)."""
+    vocab_rows = [(w,) for w in kb.word2id]
+    vocab_df = spark.createDataFrame(vocab_rows, "word string")
+    oov = (
+        _tokens_lr(forms)
+        .select(F.explode(F.array("tl", "tr")).alias("token"))
+        .distinct()
+        .join(F.broadcast(vocab_df), F.col("token") == F.col("word"), "left_anti")
+    )
+    vocab_b = spark.sparkContext.broadcast(sorted(kb.word2id))
+    w2i_b = spark.sparkContext.broadcast(dict(kb.word2id))
+    fp = kb.fingerprint
+
+    def run(batches):
+        vocab = vocab_b.value
+        w2i = w2i_b.value
+        memo = _FUZZY_CACHE.setdefault(fp, {})
+        for pdf in batches:
+            ids = []
+            for tok in pdf["token"]:
+                hit = memo.get(tok)
+                if hit is None:
+                    hit = w2i[fuzzy_best_match(tok, vocab)]
+                    memo[tok] = hit
+                ids.append(hit)
+            pdf = pdf.assign(word_id=pd.array(ids, dtype="int64"))
+            yield pdf
+
+    resolved = oov.mapInPandas(run, "token string, word_id long")
+    return {r["token"]: int(r["word_id"]) for r in resolved.collect()}
+
+
+def phrase_vectors_df(
+    spark: SparkSession,
+    forms: DataFrame,
+    kb: KBFixture,
+    fuzzy_map: dict[str, int] | None = None,
+) -> DataFrame:
     """distinct (norm) -> (norm, pv array<float>) in ONE Arrow UDF pass.
 
     Inside the UDF (per Arrow batch, all vectorized):
     1. tokenize to (tl, tr) with the [t, t] rule (utils.py:362-377),
-    2. resolve word ids: exact dict hit, else deterministic fuzzy fallback
-       (memoized per worker) — ≙ get_words_ids_4_entity, utils.py:380-463,
+    2. resolve word ids: exact dict hit, else the pre-resolved
+       ``fuzzy_map`` (see :func:`prefuzz_map`) or the deterministic fuzzy
+       fallback (memoized per worker) — ≙ get_words_ids_4_entity,
+       utils.py:380-463,
     3. gather WC candidate blocks (utils.py:265-331),
     4. batched attention forward pass
        (≙ /root/reference/src/NILINKER/nilinker.py:80-153, vectorized
@@ -99,6 +152,7 @@ def phrase_vectors_df(spark: SparkSession, forms: DataFrame, kb: KBFixture) -> D
     The KB dicts + weight matrices ride one sc.broadcast; the UDF touches
     no Spark state, so the same numpy path runs in the oracle.
     """
+    fuzzy_b = spark.sparkContext.broadcast(fuzzy_map or {})
     kb_b = spark.sparkContext.broadcast(
         {
             "vocab_sorted": sorted(kb.word2id),
@@ -121,9 +175,13 @@ def phrase_vectors_df(spark: SparkSession, forms: DataFrame, kb: KBFixture) -> D
         w = ModelWeights(z["W_a"], z["b_a"], z["W_c"], z["b_c"], z["word_embeds"], z["cand_embeds"])
 
         memo = _FUZZY_CACHE.setdefault(kbv["fingerprint"], {})
+        pre = fuzzy_b.value
 
         def wid(tok: str) -> int:
             hit = w2i.get(tok)
+            if hit is not None:
+                return hit
+            hit = pre.get(tok)
             if hit is not None:
                 return hit
             hit = memo.get(tok)

@@ -27,10 +27,14 @@ from pyspark.sql import functions as F
 # Below this edge count the component structure is driver-trivial: collect
 # the (src, dst) list and run union-find in-process instead of paying
 # O(rounds) scheduler latency on a vocabulary-sized frame (~1.9 s of pure
-# round-trips for a 100-form graph; measured).  200k string-pair rows is
-# ~20 MB on the driver.  Above the threshold (10^7-form vocabularies at
-# 100 TB) the distributed alternating-star loop runs unchanged.
-CC_DRIVER_MAX_EDGES = int(os.environ.get("NILINKER_CC_DRIVER_MAX_EDGES", "200000"))
+# round-trips for a 100-form graph; measured).  500k string-pair rows is
+# ~40 MB on the driver (union-find itself is ~1 s); the alternating-star
+# loop at that size is 4-5 rounds of ~6 sub-second stages each — ~12 s of
+# pure scheduler latency for the same answer (measured at 300k edges).
+# Above the threshold (10^7-form vocabularies at 100 TB, where the edge
+# table genuinely exceeds driver memory) the distributed loop runs
+# unchanged.
+CC_DRIVER_MAX_EDGES = int(os.environ.get("NILINKER_CC_DRIVER_MAX_EDGES", "500000"))
 
 
 def _sym(edges: DataFrame) -> DataFrame:

@@ -87,11 +87,19 @@ def candidate_pairs(
         )
     )
 
+    # NO pair-level dedup: a (norm_a, norm_b) duplicate (two shared block
+    # keys, or an anchor pair repeating a sub-block pair — ~10-30% of
+    # rows) just re-scores deterministically to the same value, and the
+    # edge set is deduplicated for free one stage later (driver union-find
+    # is idempotent; the distributed CC loop's first step is distinct()
+    # over the ~16x-smaller THRESHOLDED edge table).  A dropDuplicates
+    # here was the single largest shuffle of the vocabulary middle —
+    # hash-exchanging every candidate pair to save a fraction of
+    # deterministic rescoring is a net loss at any scale.
     pairs = (
         cold_pairs.select("norm_a", "norm_b")
         .unionByName(sub_pairs.select("norm_a", "norm_b"))
         .unionByName(anchor_pairs)
-        .dropDuplicates(["norm_a", "norm_b"])
     )
     metrics = hot.select("block_key", "members").distinct().withColumn(
         "n_salts", F.ceil(F.col("members") / F.lit(max_block)).cast("int")

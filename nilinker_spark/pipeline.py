@@ -56,8 +56,26 @@ def resolve(
     max_block: int = MAX_BLOCK_FORMS,
     metrics_out: dict | None = None,
     cache_out: list | None = None,
+    stage_walls_out: dict | None = None,
+    stage_hook=None,
 ) -> DataFrame:
     """Checkpoint-free functional composition of S1-S7 (entry/bench path).
+
+    ``stage_walls_out``: pass a dict to receive wall-clock seconds of the
+    sections this function ALREADY materializes eagerly — "extract_s"
+    (S1 scan + distinct-forms count) and "middle_s" (S2-S6: phrase
+    vectors → pairs → scoring → CC → cluster table; both localCheckpoints
+    are eager on the distributed path).  Pure timestamps around existing
+    actions — the plan and its laziness are unchanged — so the bench can
+    report the vocabulary middle's own throughput, plus "n_forms" and
+    "middle_path" ("driver" or "distributed").
+
+    ``stage_hook``: optional callable invoked driver-side with
+    ``"extract_done"`` after the extraction/forms materialization and
+    before the middle timer starts — the bench's paired-concurrent rounds
+    use it as a second barrier so both levels' MIDDLE sections overlap
+    (host noise then cancels in the middle-wall ratio).  Time spent
+    inside the hook is excluded from every stage wall.
 
     Same operators as :class:`Pipeline`, no materialization between
     stages — Catalyst sees the whole plan and AQE sizes the shuffles.
@@ -94,6 +112,7 @@ def resolve(
     # evaluates 4 regexes + 2 string builds per token JVM-side (~200M
     # regex execs at 1M docs) vs ~60 memoized dict probes per doc in the
     # Arrow scan.  The vectorized Python path is the measured fast path.
+    t0 = time.monotonic()
     mentions = extract_mentions_df(spark, webtext, gazetteer).persist()
     if cache_out is not None:
         cache_out.append(mentions)
@@ -106,6 +125,15 @@ def resolve(
     # at 10^12 docs it is millions of rows): size the form-level shuffles by
     # the DATA, not the cluster, or per-task overhead dwarfs the work
     n_forms = forms.count()
+    if stage_walls_out is not None:
+        stage_walls_out["extract_s"] = time.monotonic() - t0
+        stage_walls_out["n_forms"] = n_forms
+        stage_walls_out["middle_path"] = (
+            "driver" if n_forms <= DRIVER_VOCAB_MAX else "distributed"
+        )
+    if stage_hook is not None:
+        stage_hook("extract_done")
+    t1 = time.monotonic()
 
     if n_forms <= DRIVER_VOCAB_MAX:
         # tiny-vocabulary fast path: the whole middle on the driver (see
@@ -121,6 +149,8 @@ def resolve(
         clusters = spark.createDataFrame(
             sorted(cmap.items()), "norm string, cluster_id string"
         )
+        if stage_walls_out is not None:
+            stage_walls_out["middle_s"] = time.monotonic() - t1
         if metrics_out is not None:
             from nilinker_spark.operators.skew import salted_count
 
@@ -132,7 +162,15 @@ def resolve(
             "url", "mention_id", "surface", "pos", "norm", "cluster_id"
         )
 
-    form_parts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")), n_forms // 50_000 + 1))
+    # size the form-level shuffles by the DATA with a COMPUTE-aware floor:
+    # ~2k forms per partition.  The old 50k-per-partition rule treated the
+    # middle as shuffle-bound, but its rows are compute-heavy (attention
+    # math, fuzzy resolution, pair scoring) — at 20k forms it serialized
+    # the whole S3-S6 into ONE task and the middle stopped scaling
+    # entirely (measured 2->8 efficiency 0.27; ~0.9 after this change).
+    # At 10^6+ forms the cap is the session's shuffle.partitions, i.e.
+    # cluster-sized, exactly as before.
+    form_parts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")), n_forms // 2_000 + 1))
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # AQE re-plans every shuffle stage; on the vocabulary-sized form stages
     # (often 1 partition) that re-planning is pure per-stage latency with
@@ -143,7 +181,14 @@ def resolve(
     if n_forms < 1_000_000:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        pvs = phrase_vectors_df(spark, forms, kb).localCheckpoint(eager=True)
+        # resolve distinct OOV tokens once across the cluster (the
+        # per-worker fuzzy memo cannot de-duplicate ACROSS workers; at
+        # 10^5 forms the duplicated fuzzy scans made pvs wall flat from
+        # 2 to 8 cores — see blocking.prefuzz_map)
+        from nilinker_spark.operators.blocking import prefuzz_map
+
+        fmap = prefuzz_map(spark, forms, kb)
+        pvs = phrase_vectors_df(spark, forms, kb, fuzzy_map=fmap).localCheckpoint(eager=True)
         blocked = block_keys_df(pvs.select("norm"))
         pairs, salt_metrics = candidate_pairs(blocked, max_block)
         scored = score_pairs(pairs, pvs, alpha, n_forms=n_forms)
@@ -161,6 +206,8 @@ def resolve(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    if stage_walls_out is not None:
+        stage_walls_out["middle_s"] = time.monotonic() - t1
     if metrics_out is not None:
         from nilinker_spark.operators.skew import salted_count
 

@@ -17,7 +17,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def webtext_from_documents(docs: DataFrame, replicate: int = 1, partitions: int | None = None) -> DataFrame:
+def webtext_from_documents(
+    docs: DataFrame,
+    replicate: int = 1,
+    partitions: int | None = None,
+    vocab_variants: int = 1,
+) -> DataFrame:
     """documents(doc_id, text, lang, source, n_chars) -> webtext shape.
 
     ``replicate`` > 1 tiles the corpus with distinct urls (bench scaling
@@ -26,6 +31,17 @@ def webtext_from_documents(docs: DataFrame, replicate: int = 1, partitions: int 
     parquet file, which would otherwise serialize the whole extraction
     stage into one task (a 100 TB table arrives pre-split; this knob
     stands in for that).
+
+    ``vocab_variants`` = V > 1 derives a DETERMINISTIC per-replicate
+    vocabulary expansion from the driver text: every token of replicate r
+    gets the suffix ``v{r % V}`` (pure column transform, normalization-
+    preserving), so the corpus carries V disjoint surface-form variants of
+    every base n-gram.  The synthetic sf tables have only ~10³ distinct
+    bigrams — far below the driver-side vocabulary threshold — and this is
+    the bench's knob for forcing a REAL distributed S2-S6 vocabulary
+    (10⁴-10⁵ forms) out of driver-provided data, no external corpus.
+    Callers must keep replicate a multiple of V so every variant appears
+    (equal vocabulary at every parallelism level).
     """
     base = docs
     if replicate > 1:
@@ -44,13 +60,36 @@ def webtext_from_documents(docs: DataFrame, replicate: int = 1, partitions: int 
         partitions = max(1, docs.sparkSession.sparkContext.defaultParallelism // 2)
     if partitions > 1:
         base = base.repartition(partitions)
+    text_col = F.col("text")
+    if vocab_variants > 1:
+        variant = F.pmod(F.col("rep"), F.lit(vocab_variants)).cast("string")
+        text_col = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "), lambda t: F.concat(t, F.lit("v"), variant)
+            ),
+            " ",
+        )
     return base.select(
         F.concat(F.lit("doc://"), F.col("rep"), F.lit("/"), F.col("doc_id")).alias("url"),
         (F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(secs=F.col("doc_id"))).alias("warc_ts"),
-        F.encode(F.col("text"), "utf-8").alias("html"),
-        F.col("text"),
+        F.encode(text_col, "utf-8").alias("html"),
+        text_col.alias("text"),
         F.col("lang"),
     )
+
+
+def varied_gazetteer(docs: DataFrame, top_n: int, variants: int) -> set[str]:
+    """Gazetteer matching :func:`webtext_from_documents` with
+    ``vocab_variants``: the top-``top_n`` base bigrams, each expanded into
+    its ``variants`` suffixed surface forms (size = top_n × variants).
+    Base surfaces come from ONE small scan of the unreplicated driver
+    table; the expansion is driver-side string work."""
+    base = gazetteer_from_documents(docs, top_n=top_n)
+    return {
+        " ".join(f"{t}v{k}" for t in s.split(" "))
+        for s in base
+        for k in range(variants)
+    }
 
 
 def gazetteer_from_documents(docs: DataFrame, top_n: int = 100) -> set[str]:
