@@ -50,10 +50,17 @@ def candidate_pairs(
     Returns (pairs, salt_metrics)."""
     # block sizes via an unbounded window, not groupBy+self-join: one
     # exchange on block_key instead of two plus a join — this sits on the
-    # flagship's fixed-latency path (vocabulary-sized, every run)
+    # flagship's fixed-latency path (vocabulary-sized, every run).
+    # Lazily checkpointed: the (block_key, norm, members) table feeds SIX
+    # plan branches (cold/sub-block/anchor x both join sides) and Spark
+    # does not reuse the exchange across them (per-branch projections
+    # defeat canonicalization — the audited fused plan showed the window
+    # sort running 6x).  One materialization of a vocabulary-bounded
+    # table replaces five recomputations; lineage truncates like the
+    # other middle checkpoints.
     b = blocked.withColumn(
         "members", F.count("*").over(Window.partitionBy("block_key"))
-    )
+    ).localCheckpoint(eager=False)
 
     cold = b.filter(F.col("members") <= max_block).select("block_key", "norm")
     hot = b.filter(F.col("members") > max_block).select("block_key", "norm", "members")
