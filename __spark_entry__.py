@@ -783,6 +783,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_neardup_clusters"] = media_neardup_clusters
 
+    def media_frame_sample(spark, sf):
+        """Video frame-sampling plumbing as a contract row: fixed-size
+        byte 'frames', every 4th kept (multimodal.frame_sample).  Frames
+        surface as md5 + length (binary columns don't hash stably across
+        engines); the corpus text is ASCII so byte slices == char slices
+        and the DuckDB twin recomputes them with substr/md5 natively."""
+        from nilinker_spark.operators import multimodal as M
+
+        docs = _docs(spark, sf)
+        media = docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.try_element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("kind"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+        fr = M.frame_sample(media, frame_bytes=64, every_n=4)
+        return fr.select(
+            "media_id",
+            "frame_idx",
+            F.md5(F.decode("frame", "utf-8")).alias("frame_md5"),
+            F.length("frame").alias("frame_len"),
+        )
+
+    q["media_frame_sample"] = media_frame_sample
+
     return q
 
 
@@ -1432,6 +1459,20 @@ def oracle_sql() -> dict[str, str]:
         "cast(f.dim as int) as dim, "
         "round(cast(cast(f.x / n.nrm as float) as double), 4) as val "
         "from f join n using (media_id)"
+    )
+    # video frame sampling twin: kind 'video' == doc_id % 3 == 2 (see the
+    # media_features kind mapping); frames are 64-byte slices, every 4th
+    # kept (multimodal.frame_sample: range(0, max(1, len//64), 4)); the
+    # documents text is ASCII so substr-by-char == slice-by-byte and md5
+    # over the VARCHAR frame matches Spark's md5(decode(frame)).
+    o["media_frame_sample"] = (
+        "with m as (select doc_id as media_id, text as txt from documents "
+        "where doc_id % 3 = 2), "
+        "f as (select media_id, cast(k.k as int) as frame_idx, "
+        "substr(txt, cast(k.k as int) * 64 + 1, 64) as fr "
+        "from m, unnest(range(0, greatest(length(txt) // 64, 1), 4)) as k(k)) "
+        "select media_id, frame_idx, md5(fr) as frame_md5, "
+        "cast(length(fr) as int) as frame_len from f"
     )
     o["eval_filter_top_pred"] = (
         "with q as (select vec_id as query_id, embedding as qe from embeddings where vec_id < 10), "
