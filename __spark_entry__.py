@@ -810,6 +810,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_frame_sample"] = media_frame_sample
 
+    def stream_windowed_counts(spark, sf):
+        """Watermarked event-time windowed aggregation as a contract row:
+        the streaming mention extraction feeds windowed_mention_counts
+        (1-hour windows on warc_ts, 2-hour watermark), drained availableNow;
+        a far-future sentinel page on a checkpoint-resumed second drain
+        flushes the held-open windows (append mode emits a window only
+        once the watermark passes its end).  The DuckDB twin recomputes
+        the same counts batch-side from the er_extract_mentions twin —
+        the streaming maintenance of the term-frequency/IC aggregation."""
+        import datetime as dt
+        import shutil
+        import tempfile
+
+        from nilinker_spark.streaming.extract_stream import (
+            read_webtext_stream,
+            stream_mentions,
+            windowed_mention_counts,
+        )
+
+        docs = _docs(spark, sf)
+        webtext = webtext_from_documents(docs)
+        gazetteer = gazetteer_from_documents(docs)
+        base = tempfile.mkdtemp(prefix="stream_wc_")
+        try:
+            in_dir, out_dir, ck_dir = f"{base}/in", f"{base}/out", f"{base}/ck"
+            webtext.write.mode("overwrite").parquet(in_dir)
+
+            def drain():
+                stream = read_webtext_stream(spark, in_dir)
+                counts = windowed_mention_counts(
+                    stream_mentions(spark, stream, gazetteer)
+                )
+                (
+                    counts.writeStream.format("parquet")
+                    .option("path", out_dir)
+                    .option("checkpointLocation", ck_dir)
+                    .trigger(availableNow=True)
+                    .outputMode("append")
+                    .start()
+                    .awaitTermination()
+                )
+
+            drain()
+            mx = webtext.agg(F.max("warc_ts").alias("m")).first()["m"]
+            # the watermark tracks event time of the MENTION stream, so
+            # the sentinel page must extract >= 1 mention: its text is a
+            # gazetteer surface.  Its own far-future window never closes
+            # (and is filtered defensively below).
+            probe = min(gazetteer)
+            sentinel = spark.createDataFrame(
+                [
+                    (
+                        "doc://sentinel/0",
+                        mx + dt.timedelta(days=2),
+                        probe.encode("utf-8"),
+                        probe,
+                        "en",
+                    )
+                ],
+                webtext.schema,
+            )
+            sentinel.write.mode("append").parquet(in_dir)
+            drain()  # checkpoint resume: watermark passes every real window
+            out = (
+                spark.read.parquet(out_dir)
+                .filter(F.col("window_start") <= F.lit(mx))
+                .select(
+                    F.col("window_start").cast("string").alias("window_start"),
+                    "norm",
+                    "n",
+                )
+            )
+            # the stream sink dir is temporary: materialize before cleanup
+            return spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    q["stream_windowed_counts"] = stream_windowed_counts
+
     return q
 
 
@@ -1440,6 +1519,20 @@ def oracle_sql() -> dict[str, str]:
         "select n.vec_id, cast(cl.rep as bigint) as cluster_id, "
         "n.vec_id = cast(cl.rep as bigint) as is_canonical "
         "from nodes n join cl on n.node = cl.node"
+    )
+    # streaming windowed-count twin: the batch recomputation of the
+    # watermarked 1-hour windowed mention counts.  warc_ts is derived as
+    # 2024-01-01 00:00:00 UTC + doc_id seconds (sources/webtext.py), so
+    # the window start is hour-truncated epoch arithmetic on the doc_id
+    # parsed back out of the mention url; counts come from the same
+    # er_extract_mentions twin the flagship uses.
+    o["stream_windowed_counts"] = (
+        f"with em as ({o['er_extract_mentions']}), "
+        "w as (select cast(cast(to_timestamp((1704067200 + "
+        "cast(regexp_extract(url, '([0-9]+)$', 1) as bigint)) // 3600 * 3600) "
+        "as timestamp) as varchar) as window_start, norm from em) "
+        "select window_start, norm, cast(count(*) as bigint) as n "
+        "from w group by 1, 2"
     )
     # multimodal feature twin: md5-lattice features recomputed natively —
     # component x_i = 2*(md5_60bit(md5(payload) || '#' || i)/2^60) - 1,

@@ -373,7 +373,17 @@ class Pipeline:
         stage("mention_metrics", lambda: salted_count(mentions, "norm"))
 
         forms = mentions.select("norm").distinct()
-        pvs = stage("phrase_vecs", lambda: phrase_vectors_df(self.spark, forms, self.kb))
+
+        def build_pvs() -> DataFrame:
+            # distinct OOV tokens fuzzy-resolve once cluster-wide (same
+            # rationale as resolve()'s distributed branch: the per-worker
+            # memo cannot de-duplicate across workers — blocking.prefuzz_map)
+            from nilinker_spark.operators.blocking import prefuzz_map
+
+            fmap = prefuzz_map(self.spark, forms, self.kb)
+            return phrase_vectors_df(self.spark, forms, self.kb, fuzzy_map=fmap)
+
+        pvs = stage("phrase_vecs", build_pvs)
         if stop_after == "phrase_vecs":
             return None
         # parquet-metadata count — powers the conditional broadcast hints
@@ -569,7 +579,14 @@ class Pipeline:
             .join(self._load("phrase_vecs").select("norm"), "norm", "left_anti")
             .localCheckpoint(eager=True)  # tiny; breaks the read-append cycle
         )
-        self._checkpoint_append("phrase_vecs", phrase_vectors_df(self.spark, new_forms, self.kb))
+        from nilinker_spark.operators.blocking import prefuzz_map
+
+        self._checkpoint_append(
+            "phrase_vecs",
+            phrase_vectors_df(
+                self.spark, new_forms, self.kb, fuzzy_map=prefuzz_map(self.spark, new_forms, self.kb)
+            ),
+        )
         new_m.unpersist()
 
         from nilinker_spark.operators.skew import salted_count
