@@ -419,6 +419,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["degree_lookup"] = degree_lookup
 
+    def graph_bfs_depths(spark, sf):
+        """Shortest-path depth from a root (≙ nx.shortest_path_length to
+        the ontology root, analysis/ancestors.py:65-72): BFS with
+        iterative frontier joins over the customer→nation→region
+        hierarchy, rooted at region 0 — each node at its minimum depth."""
+        from nilinker_spark.operators.graph import bfs_depths
+
+        nat = load_table(spark, sf, "nation")
+        cust = load_table(spark, sf, "customer")
+        e1 = nat.select(
+            F.concat(F.lit("n"), "n_nationkey").alias("src"),
+            F.concat(F.lit("r"), "n_regionkey").alias("dst"),
+        )
+        e2 = cust.select(
+            F.concat(F.lit("c"), "c_custkey").alias("src"),
+            F.concat(F.lit("n"), "c_nationkey").alias("dst"),
+        )
+        return bfs_depths(e1.unionByName(e2), root="r0")
+
+    q["graph_bfs_depths"] = graph_bfs_depths
+
     def single_parent_predicate(spark, sf):
         from nilinker_spark.operators.graph import single_parent
 
@@ -1358,6 +1379,17 @@ def oracle_sql() -> dict[str, str]:
         "id as (select dst as node, count(*) as in_degree from e group by 1) "
         "select coalesce(od.node, id.node) as node, cast(coalesce(out_degree, 0) as bigint) as out_degree, "
         "cast(coalesce(in_degree, 0) as bigint) as in_degree from od full join id using (node)"
+    )
+    # BFS-depth twin: recursive walk down from the root, min depth per
+    # node (the DAG is the 2-level customer->nation->region hierarchy;
+    # the depth guard mirrors bfs_depths' max_depth)
+    o["graph_bfs_depths"] = (
+        "with recursive e as (select 'n' || n_nationkey as src, 'r' || n_regionkey as dst from nation "
+        "union all select 'c' || c_custkey, 'n' || c_nationkey from customer), "
+        "walk(node, depth) as (select 'r0', 0 "
+        "union all select e.src, walk.depth + 1 from walk join e on e.dst = walk.node "
+        "where walk.depth < 20) "
+        "select node, cast(min(depth) as int) as depth from walk group by node"
     )
     o["single_parent_predicate"] = (
         "with e as (select o_custkey as src, o_orderkey as dst from orders), "
