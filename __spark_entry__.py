@@ -44,6 +44,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+# Contract queries that produce their result inside a TEMPORARY directory
+# (stream sinks, throwaway checkpoint dirs) must materialize before
+# cleanup.  The guard keeps that collect honest: it is for contract-scale
+# data only (10^3-10^4 rows at the driver's sf0.01), and a future caller
+# pointing these at a big sf fails loudly instead of OOM-ing the driver.
+_MATERIALIZE_MAX_ROWS = 200_000
+
+
+def _materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
+    rows = df.limit(_MATERIALIZE_MAX_ROWS + 1).collect()
+    if len(rows) > _MATERIALIZE_MAX_ROWS:
+        raise RuntimeError(
+            f"contract materialization exceeds {_MATERIALIZE_MAX_ROWS} rows — "
+            "this collect is sized for contract-scale data only"
+        )
+    return spark.createDataFrame(rows, df.schema)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full ER pipeline (extract -> block -> score -> cluster)
     over webtext derived from sf0.001 documents."""
@@ -628,7 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pipe.run(base_w).count()
             res = pipe.run_incremental(inc_w)
             # the checkpoint dir is temporary: materialize before cleanup
-            return spark.createDataFrame(res.collect(), res.schema)
+            return _materialize(spark, res)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
@@ -713,7 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "url", "mention_id", "surface", "pos", "norm", "cluster_id"
             )
             # the stream sink dir is temporary: materialize before cleanup
-            return spark.createDataFrame(result.collect(), result.schema)
+            return _materialize(spark, result)
         finally:
             shutil.rmtree(base, ignore_errors=True)
 
@@ -770,7 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("n_sessions"))
             )
             # the stream sink dir is temporary: materialize before cleanup
-            return spark.createDataFrame(out.collect(), out.schema)
+            return _materialize(spark, out)
         finally:
             shutil.rmtree(base, ignore_errors=True)
 
@@ -904,7 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             )
             # the stream sink dir is temporary: materialize before cleanup
-            return spark.createDataFrame(out.collect(), out.schema)
+            return _materialize(spark, out)
         finally:
             shutil.rmtree(base, ignore_errors=True)
 
