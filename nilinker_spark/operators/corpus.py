@@ -217,12 +217,27 @@ def minhash_signatures(
     if max_shingle_df is not None:
         sh = _persist(sh)
         sh = cap_shingle_df(sh, max_shingle_df, metrics_out)
-    hs = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("hash_id")
-    salted = sh.select("doc_id", "sh", hs)
-    return (
-        salted.withColumn("hv", h60(F.concat_ws("#", F.col("hash_id"), F.col("sh"))))
-        .groupBy("doc_id", "hash_id")
-        .agg(F.min("hv").alias("minhash"))
+    # ONE wide aggregation instead of an explode(k) + groupBy: the k
+    # per-permutation minima are k agg columns over the SAME shingle rows,
+    # so the corpus-sized shuffle carries the shingle table once, not k
+    # times (the md5 work per row is identical either way).  The long
+    # (doc_id, hash_id, minhash) shape the banding consumes is recovered
+    # by unpivoting the k-column result — a doc-count-sized frame.
+    aggs = [
+        F.min(h60(F.concat_ws("#", F.lit(i), F.col("sh")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    long = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("hash_id"), F.col(f"mh{i}").alias("minhash"))
+                for i in range(n_hashes)
+            ]
+        )
+    )
+    return wide.select("doc_id", long.alias("e")).select(
+        "doc_id", F.col("e.hash_id").alias("hash_id"), F.col("e.minhash").alias("minhash")
     )
 
 
@@ -268,22 +283,29 @@ def minhash_lsh_pairs(
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """(doc_id, simhash) — bitwise-majority fingerprint over token hashes.
 
-    Relational formulation: explode (token × bit), sum ±1 votes per bit,
-    reassemble the integer — no UDF, fully codegen'd.
+    Relational formulation, no UDF, fully codegen'd: the per-bit ±1 vote
+    sums are ``bits`` agg columns of ONE groupBy over the distinct token
+    rows — the corpus-sized shuffle carries each token hash once, not
+    ``bits`` times (the earlier explode(token × bit) pushed 32× the rows
+    through two shuffles for the same answer).  The integer reassembles
+    from the doc-count-sized wide result.
     """
     toks = doc_tokens(docs, min_len=1).withColumn("th", h60(F.col("token")))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    votes = (
-        toks.select("doc_id", "th", bit)
-        .withColumn("vote", F.when(F.expr("(th >> bit) & 1") == 1, 1).otherwise(-1))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return (
-        votes.withColumn("bitval", F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), cast(bit as int))")).otherwise(F.lit(0).cast("long")))
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"(th >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    wide = toks.groupBy("doc_id").agg(*aggs)
+    val = None
+    for b in range(bits):
+        term = (
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        val = term if val is None else val + term
+    return wide.select("doc_id", val.alias("simhash"))
 
 
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.8) -> DataFrame:
