@@ -290,3 +290,35 @@ def test_distributed_scoring_evaluates_once(spark, kb, webtext_df, monkeypatch, 
         f"scoring subtree evaluated {total} rows for {expected} pairs "
         f"({total / expected:.2f}x) — the CC probe recomputed it"
     )
+
+
+def test_prefuzz_map_matches_scalar_fuzzy(spark, kb):
+    """prefuzz_map must return exactly the distinct OOV tokens of the
+    form set, each mapped to the SAME word id the scalar fuzzy fallback
+    produces — the cluster-wide de-duplication must not change a single
+    resolution (it feeds every pipeline path since r4)."""
+    from nilinker_spark.functions.normalize import tokenize_entity
+    from nilinker_spark.functions.similarity import fuzzy_best_match
+    from nilinker_spark.operators.blocking import prefuzz_map
+
+    vocab = sorted(kb.word2id)
+    known = vocab[0]
+    forms = spark.createDataFrame(
+        [
+            (f"{known} zzqx{i}",) for i in range(30)  # right token OOV
+        ]
+        + [(f"abcd{i} {known}",) for i in range(30)]  # left token OOV
+        + [(known,)],  # fully in-vocab single token
+        "norm string",
+    )
+    fmap = prefuzz_map(spark, forms, kb)
+    expected_tokens = set()
+    for r in forms.collect():
+        tl, tr = tokenize_entity(r["norm"])
+        for t in (tl, tr):
+            if t not in kb.word2id:
+                expected_tokens.add(t)
+    assert set(fmap) == expected_tokens
+    assert known not in fmap  # in-vocab tokens never enter the map
+    for tok, wid in fmap.items():
+        assert wid == kb.word2id[fuzzy_best_match(tok, vocab)]
