@@ -39,6 +39,13 @@ from nilinker_spark.oracle import PAD_CANDS
 # worker from poisoning each other.
 _FUZZY_CACHE: dict[str, dict[str, int]] = {}
 
+# prefuzz_map collects the resolved OOV-token map to the driver for
+# broadcast; above this many distinct OOV tokens (~100 MB of (token, id)
+# rows) it declines and callers fall back to the per-worker memo — the
+# same bounded-collect discipline as BROADCAST_MAX_FORMS.  10^6 tokens
+# covers vocabularies far beyond any real gazetteer's OOV surface.
+PREFUZZ_MAX_TOKENS = 1_000_000
+
 
 def _tokens_lr(df: DataFrame) -> DataFrame:
     """tl/tr columns per the [t, t] duplication rule (utils.py:362-377)."""
@@ -127,7 +134,13 @@ def prefuzz_map(spark: SparkSession, forms: DataFrame, kb: KBFixture) -> dict[st
             yield pdf
 
     resolved = oov.mapInPandas(run, "token string, word_id long")
-    return {r["token"]: int(r["word_id"]) for r in resolved.collect()}
+    # bounded collect: never materialize an unbounded token map on the
+    # driver — past the cap return empty and let the per-worker memo
+    # carry the fuzzy work (correct either way, parity-tested)
+    rows = resolved.limit(PREFUZZ_MAX_TOKENS + 1).collect()
+    if len(rows) > PREFUZZ_MAX_TOKENS:
+        return {}
+    return {r["token"]: int(r["word_id"]) for r in rows}
 
 
 def phrase_vectors_df(
