@@ -84,8 +84,8 @@ WARM_REPLICATE = 24
 DIST_VARIANTS = int(os.environ.get("SPARK_GRAFT_DIST_VARIANTS", "125"))
 DIST_GAZ_BASE = int(os.environ.get("SPARK_GRAFT_DIST_GAZ_BASE", "800"))
 DIST_DOC_LIMIT = int(os.environ.get("SPARK_GRAFT_DIST_DOC_LIMIT", "250"))
-DIST_ROUNDS = int(os.environ.get("SPARK_GRAFT_DIST_ROUNDS", "3"))
-DIST_BUDGET_S = int(os.environ.get("SPARK_GRAFT_DIST_BUDGET_S", "400"))
+DIST_ROUNDS = int(os.environ.get("SPARK_GRAFT_DIST_ROUNDS", "4"))
+DIST_BUDGET_S = int(os.environ.get("SPARK_GRAFT_DIST_BUDGET_S", "420"))
 
 
 def _fresh_spark(cpus: int):
