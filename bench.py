@@ -75,17 +75,23 @@ MAX_ROUNDS = int(os.environ.get("SPARK_GRAFT_MAX_ROUNDS", "6"))
 WARM_REPLICATE = 24
 
 # Distributed-middle section (VERDICT r3 #1): vocabulary = DIST_GAZ_BASE
-# base bigrams x DIST_VARIANTS per-replicate token variants = 20k distinct
-# forms by default — 10x DRIVER_VOCAB_MAX, so the timed S2-S6 runs the
-# distributed pairs -> Arrow scoring -> CC path that dominates at 10^6+
-# forms.  Replicates are multiples of DIST_VARIANTS at every level (equal
+# base bigrams x DIST_VARIANTS per-replicate token variants of distinct
+# forms — >>DRIVER_VOCAB_MAX, so the timed S2-S6 runs the distributed
+# pairs -> Arrow scoring -> CC path that dominates at 10^6+ forms.
+# Replicates are multiples of DIST_VARIANTS at every level (equal
 # vocabulary => the middle's work is IDENTICAL at lo and hi, and its
 # efficiency is the middle-wall ratio over the core ratio).
-DIST_VARIANTS = int(os.environ.get("SPARK_GRAFT_DIST_VARIANTS", "125"))
+# V=250 (~200k forms) per VERDICT r4 #3: doubles the compute:floor ratio
+# of the r4 V=125 evidence, and the floor is now broken out per draw.
+DIST_VARIANTS = int(os.environ.get("SPARK_GRAFT_DIST_VARIANTS", "250"))
 DIST_GAZ_BASE = int(os.environ.get("SPARK_GRAFT_DIST_GAZ_BASE", "800"))
 DIST_DOC_LIMIT = int(os.environ.get("SPARK_GRAFT_DIST_DOC_LIMIT", "250"))
-DIST_ROUNDS = int(os.environ.get("SPARK_GRAFT_DIST_ROUNDS", "4"))
-DIST_BUDGET_S = int(os.environ.get("SPARK_GRAFT_DIST_BUDGET_S", "420"))
+DIST_ROUNDS = int(os.environ.get("SPARK_GRAFT_DIST_ROUNDS", "3"))
+DIST_BUDGET_S = int(os.environ.get("SPARK_GRAFT_DIST_BUDGET_S", "520"))
+# measured host bound for ANY 2->8 comparison of this workload on this
+# box: four INDEPENDENT 2-core copies reach only ~1.7x aggregate
+# (tools/middle_saturation.py; BASELINE.md round-4) => ceiling ~0.42-0.43
+DIST_HOST_CEILING = 0.43
 
 
 def _fresh_spark(cpus: int):
@@ -408,12 +414,33 @@ def distributed_middle_section(lo_cores: str, hi_cores: str) -> dict | None:
         ratio = HI_CPUS / LO_CPUS
         docs_eff = ((hi["docs"] / hi["sec"]) / (lo["docs"] / lo["sec"])) / ratio
         mid_eff = (lo["middle_s"] / hi["middle_s"]) / ratio
+        # the middle's scale-invariant floor, MEASURED per draw (VERDICT
+        # r4 #3): one-shot prefuzz job + CC driver union-find/label build
+        # (pure single-threaded driver work; the probe's collect is
+        # excluded — it evaluates the upstream scoring plan, which is
+        # distributed compute).  compute_eff = the floor-subtracted
+        # middle ratio — what the middle's DISTRIBUTED stages scale at.
+        floor_lo = lo.get("prefuzz_s", 0.0) + lo.get("cc_driver_s", 0.0)
+        floor_hi = hi.get("prefuzz_s", 0.0) + hi.get("cc_driver_s", 0.0)
+        comp_lo = max(lo["middle_s"] - floor_lo, 1e-6)
+        comp_hi = max(hi["middle_s"] - floor_hi, 1e-6)
+        comp_eff = (comp_lo / comp_hi) / ratio
         rounds.append(
             {
                 "docs_eff": round(min(docs_eff, 1.0), 3),
                 "docs_eff_raw": round(docs_eff, 3),
                 "middle_eff": round(min(mid_eff, 1.0), 3),
                 "middle_eff_raw": round(mid_eff, 3),
+                "compute_eff": round(min(comp_eff, 1.0), 3),
+                "compute_eff_raw": round(comp_eff, 3),
+                "floor_s_lo": round(floor_lo, 2),
+                "floor_s_hi": round(floor_hi, 2),
+                "prefuzz_s_lo": round(lo.get("prefuzz_s", 0.0), 2),
+                "prefuzz_s_hi": round(hi.get("prefuzz_s", 0.0), 2),
+                "cc_driver_s_lo": round(lo.get("cc_driver_s", 0.0), 2),
+                "cc_driver_s_hi": round(hi.get("cc_driver_s", 0.0), 2),
+                "cc_collect_s_lo": round(lo.get("cc_collect_s", 0.0), 2),
+                "cc_collect_s_hi": round(hi.get("cc_collect_s", 0.0), 2),
                 "middle_s_lo": round(lo["middle_s"], 2),
                 "middle_s_hi": round(hi["middle_s"], 2),
                 "extract_s_lo": round(lo.get("extract_s", 0.0), 2),
@@ -434,6 +461,12 @@ def distributed_middle_section(lo_cores: str, hi_cores: str) -> dict | None:
         "middle_path": "distributed",
         "middle_efficiency": statistics.median(r["middle_eff"] for r in rounds),
         "docs_efficiency": statistics.median(r["docs_eff"] for r in rounds),
+        # floor fields as first-class artifact numbers (VERDICT r4 #3):
+        # the scale-invariant floor per level and the floor-subtracted
+        # compute-only efficiency of the middle's distributed stages
+        "middle_floor_s": statistics.median(r["floor_s_lo"] for r in rounds),
+        "middle_floor_s_hi": statistics.median(r["floor_s_hi"] for r in rounds),
+        "middle_compute_efficiency": statistics.median(r["compute_eff"] for r in rounds),
         # best (fastest) middle wall per level -> peak forms/sec
         "middle_forms_per_sec_lo": round(n_forms / min(r["middle_s_lo"] for r in rounds), 1),
         "middle_forms_per_sec_hi": round(n_forms / min(r["middle_s_hi"] for r in rounds), 1),
@@ -444,6 +477,7 @@ def distributed_middle_section(lo_cores: str, hi_cores: str) -> dict | None:
         # host (tools/middle_saturation.py; BASELINE.md round-4), so the
         # host caps ANY measurable 2->8 ratio at ~0.42-0.43 — the shared
         # single-job middle above typically EXCEEDS that bound.
+        "host_saturation_ceiling_value": DIST_HOST_CEILING,
         "host_saturation_ceiling": "0.42-0.43 (tools/middle_saturation.py, two sessions; see BASELINE.md)",
     }
 
@@ -454,7 +488,15 @@ def main() -> None:
         spark = _fresh_spark(cpus)
         n_docs, sec, walls = _run_er(spark, replicate)
         out = {"docs": n_docs, "sec": sec}
-        for k in ("extract_s", "middle_s", "n_forms", "middle_path"):
+        for k in (
+            "extract_s",
+            "middle_s",
+            "n_forms",
+            "middle_path",
+            "prefuzz_s",
+            "cc_collect_s",
+            "cc_driver_s",
+        ):
             if k in walls:
                 out[k] = round(walls[k], 3) if isinstance(walls[k], float) else walls[k]
         print(json.dumps(out))
@@ -680,7 +722,50 @@ def main() -> None:
         # see BASELINE.md for the recorded full curve)
         "er_curve_docs_per_sec": {str(c): thr[c] for c in curve_levels},
     }
-    print(json.dumps(out))
+    _emit(out)
+
+
+def _emit(out: dict) -> None:
+    """Print the full record, persist it, then print a COMPACT summary
+    line LAST (VERDICT r4 #1).
+
+    The driver captures only the stdout TAIL; round 4's full record grew
+    past that window and the tail began mid-line, so the graded artifact
+    recorded ``parsed: null`` — the battery numbers existed but could not
+    be proven.  The compact line carries every headline number (battery
+    total + per-query timings, scaling efficiency, multi-JVM control,
+    middle efficiency + floor fields) with NO per-round arrays: it stays
+    well under 1 KB at 2x the current feature size, so any tail window
+    ends with a parseable record.  The full per-round log is the line
+    before it AND ``bench_full.json`` next to this script."""
+    full_line = json.dumps(out)
+    print(full_line)
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    try:
+        with open(full_path, "w") as fh:
+            fh.write(full_line + "\n")
+    except OSError:
+        full_path = "(unwritable)"
+    mj = out.get("scaling_multijvm_control") or {}
+    dist = out.get("scaling_distributed_middle") or {}
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "scaling_efficiency": out["scaling_efficiency"],
+        "scaling_rounds_n": len(out.get("scaling_rounds", [])),
+        "multijvm_eff": mj.get("eff"),
+        "er_docs_per_sec_hi": out["er_docs_per_sec_hi"],
+        "middle_efficiency": dist.get("middle_efficiency"),
+        "middle_compute_efficiency": dist.get("middle_compute_efficiency"),
+        "middle_floor_s": dist.get("middle_floor_s"),
+        "middle_n_forms": dist.get("n_forms"),
+        "host_ceiling_2to8": dist.get("host_saturation_ceiling_value"),
+        "full_record": full_path,
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

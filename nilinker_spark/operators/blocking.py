@@ -136,11 +136,13 @@ def prefuzz_map(spark: SparkSession, forms: DataFrame, kb: KBFixture) -> dict[st
     resolved = oov.mapInPandas(run, "token string, word_id long")
     # bounded collect: never materialize an unbounded token map on the
     # driver — past the cap return empty and let the per-worker memo
-    # carry the fuzzy work (correct either way, parity-tested)
-    rows = resolved.limit(PREFUZZ_MAX_TOKENS + 1).collect()
-    if len(rows) > PREFUZZ_MAX_TOKENS:
+    # carry the fuzzy work (correct either way, parity-tested).  Arrow
+    # toPandas, not java-row collect: this sits on the middle's
+    # scale-invariant floor (VERDICT r4 #4)
+    pdf = resolved.limit(PREFUZZ_MAX_TOKENS + 1).toPandas()
+    if len(pdf) > PREFUZZ_MAX_TOKENS:
         return {}
-    return {r["token"]: int(r["word_id"]) for r in rows}
+    return dict(zip(pdf["token"].values, (int(w) for w in pdf["word_id"].values)))
 
 
 def phrase_vectors_df(

@@ -86,9 +86,20 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, driver_max_edges: int | None = None
+    edges: DataFrame,
+    max_iter: int = 50,
+    driver_max_edges: int | None = None,
+    walls_out: dict | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> labels(node, label) for every node in the graph.
+
+    ``walls_out``: pass a dict to receive wall-clock seconds of the
+    driver fast path's two sections — "cc_collect_s" (the probe's
+    distinct+limit+toPandas; NOTE this is the first action on a lazily
+    checkpointed edge table, so it includes evaluating the upstream
+    scoring plan — distributed compute, not floor) and "cc_driver_s"
+    (union-find + label-frame build: pure single-threaded driver work,
+    the scale-INVARIANT part the bench subtracts as floor).
 
     label = lexicographic min of the component.  Nodes absent from the
     edge set are the caller's to label (coalesce with self).  Self-loops
@@ -98,29 +109,52 @@ def connected_components(
     Two physical strategies, identical results (parity-tested on random
     graphs):
 
-    - ``len(edges) <= driver_max_edges``: collect the edge list and run
-      min-representative union-find on the driver — one Spark job instead
-      of O(rounds) shuffles, which on vocabulary-sized graphs is pure
-      scheduler latency.  The probe is ``limit(threshold+1).collect()``,
-      so the small case never materializes more than the threshold.
+    - ``distinct edges <= driver_max_edges``: collect the DISTINCT edge
+      list via Arrow and run min-representative union-find on the driver —
+      one Spark job instead of O(rounds) shuffles, which on
+      vocabulary-sized graphs is pure scheduler latency.  The probe is
+      ``distinct().limit(threshold+1).toPandas()``: distinct first
+      (ADVICE r4 — upstream pairs are a multiset, duplicate rows must not
+      push a small graph off the fast path, and it shrinks the collect),
+      Arrow because java-row collect() was ~3.3 s of the middle's
+      scale-invariant floor at 300k edges (VERDICT r4 #4) where the Arrow
+      batch transfer is ~10x cheaper.  The small case never materializes
+      more than threshold+1 rows.
     - otherwise: alternating large-star/small-star rounds (the 10^7-node
       path; the oversized probe's partial work is recomputed, which is
       noise at that scale).
     """
+    import time
+
     if driver_max_edges is None:
         driver_max_edges = CC_DRIVER_MAX_EDGES
     spark = edges.sparkSession
     if driver_max_edges > 0:
-        head = edges.select("src", "dst").limit(driver_max_edges + 1).collect()
+        t0 = time.monotonic()
+        head = (
+            edges.select("src", "dst").distinct().limit(driver_max_edges + 1).toPandas()
+        )
+        if walls_out is not None:
+            walls_out["cc_collect_s"] = time.monotonic() - t0
         if len(head) <= driver_max_edges:
+            import pandas as pd
+
             from nilinker_spark.oracle import UnionFind
 
+            t1 = time.monotonic()
             uf = UnionFind()
-            for r in head:
-                if r[0] != r[1]:
-                    uf.union(r[0], r[1])
+            for s, d in zip(head["src"].values, head["dst"].values):
+                if s != d:
+                    uf.union(s, d)
             labels = sorted((n, uf.find(n)) for n in uf.parent)
-            return spark.createDataFrame(labels, "node string, label string")
+            pdf = pd.DataFrame(labels, columns=["node", "label"], dtype=object)
+            # Arrow-path createDataFrame (config.get_spark enables it):
+            # the java-row conversion of a 500k-label list was the other
+            # half of the driver-CC floor
+            out = spark.createDataFrame(pdf, "node string, label string")
+            if walls_out is not None:
+                walls_out["cc_driver_s"] = time.monotonic() - t1
+            return out
 
     if edges.isEmpty():
         return spark.createDataFrame([], "node string, label string")

@@ -297,11 +297,13 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
         ).alias(f"v{b}")
         for b in range(bits)
     ]
+    # 1 << b as a Python literal overflows long at b=63 (ADVICE r4): use
+    # shiftleft so bits up to 64 wrap exactly like the pre-r4 formulation
     wide = toks.groupBy("doc_id").agg(*aggs)
     val = None
     for b in range(bits):
         term = (
-            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
+            F.when(F.col(f"v{b}") > 0, F.expr(f"shiftleft(cast(1 as bigint), {b})"))
             .otherwise(F.lit(0).cast("long"))
         )
         val = term if val is None else val + term
@@ -658,11 +660,13 @@ def ivf_cells(
     refinement rounds: current assignment → per-cell component means
     (posexplode → groupBy (cell, dim) avg → reassemble, all relational;
     two shuffles per round over the N·d component table) → re-assign.
-    Means are rounded to 6 dp so the float aggregation order cannot leak
+    Means are rounded to 4 dp so the float aggregation order cannot leak
     into the centroids (the determinism rule); a cell that loses every
-    member simply disappears.  The contract query keeps ``lloyd_iters=0``
-    (the seed quantizer is what the DuckDB twin reproduces); the recall
-    lift of one round is measured in tests/test_corpus.py.  The PLAN —
+    member simply disappears.  Both quantizers are contract rows now:
+    ``ann_topk_ivf`` keeps ``lloyd_iters=0`` (seed quantizer) and
+    ``ann_topk_ivf_trained`` gates ``lloyd_iters=1`` against a DuckDB
+    twin that re-derives the Lloyd round relationally (VERDICT r4 #6);
+    the recall lift is measured in tests/test_corpus.py.  The PLAN —
     broadcast centroids → argmax cell → per-cell search — is identical
     trained or not, and the plan is what must survive 100 TB.
 
@@ -684,7 +688,11 @@ def ivf_cells(
             "cell", F.posexplode("embedding").alias("dim", "v")
         )
         means = comp.groupBy("cell", "dim").agg(
-            F.round(F.avg(F.col("v").cast("double")), 6).alias("m")
+            # 4 dp like every cross-aggregation-order float in this repo
+            # (ADVICE r4: 6 dp was a weaker ulp-absorber than the repo's
+            # determinism rule) — also what makes the trained quantizer
+            # SQL-twin-reproducible (ann_topk_ivf_trained contract row)
+            F.round(F.avg(F.col("v").cast("double")), 4).alias("m")
         )
         cents = means.groupBy("cell").agg(
             F.transform(

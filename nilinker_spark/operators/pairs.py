@@ -45,9 +45,16 @@ def candidate_pairs(
     max_block: int = MAX_BLOCK_FORMS,
     n_anchors: int = N_ANCHORS,
 ) -> tuple[DataFrame, DataFrame]:
-    """(norm, block_key) -> distinct (norm_a, norm_b), norm_a < norm_b.
+    """(norm, block_key) -> (norm_a, norm_b) candidate MULTISET with
+    norm_a < norm_b.
 
-    Returns (pairs, salt_metrics)."""
+    Returns (pairs, salt_metrics).  The output is NOT pair-distinct
+    (ADVICE r4): a form pair sharing several block keys appears once per
+    key (~10-30% duplicate rows) — scoring is deterministic per pair and
+    the edge set dedups one stage later in CC (see the no-pair-dedup note
+    below).  Consumers that COUNT pairs (including the Pipeline's
+    checkpointed ``pairs``/``scored`` stage tables) must aggregate over
+    distinct (norm_a, norm_b) themselves."""
     # block sizes via an unbounded window, not groupBy+self-join: one
     # exchange on block_key instead of two plus a join — this sits on the
     # flagship's fixed-latency path (vocabulary-sized, every run).

@@ -68,7 +68,12 @@ def resolve(
     are eager on the distributed path).  Pure timestamps around existing
     actions — the plan and its laziness are unchanged — so the bench can
     report the vocabulary middle's own throughput, plus "n_forms" and
-    "middle_path" ("driver" or "distributed").
+    "middle_path" ("driver" or "distributed").  On the distributed path
+    the middle's scale-invariant FLOOR is broken out too: "prefuzz_s"
+    (the one-shot OOV resolution job) and "cc_driver_s" /"cc_collect_s"
+    (see connected_components.walls_out) — the bench subtracts
+    prefuzz_s + cc_driver_s to report the middle's compute-only scaling
+    (VERDICT r4 #3).
 
     ``stage_hook``: optional callable invoked driver-side with
     ``"extract_done"`` after the extraction/forms materialization and
@@ -187,7 +192,14 @@ def resolve(
         # 2 to 8 cores — see blocking.prefuzz_map)
         from nilinker_spark.operators.blocking import prefuzz_map
 
+        t_pf = time.monotonic()
         fmap = prefuzz_map(spark, forms, kb)
+        # the middle's scale-invariant FLOOR, broken out for the bench
+        # artifact (VERDICT r4 #3/#4): prefuzz job latency + the CC
+        # driver-path probe/union-find below — fixed cost at any core
+        # count, subtracted to report the middle's compute-only scaling
+        if stage_walls_out is not None:
+            stage_walls_out["prefuzz_s"] = time.monotonic() - t_pf
         pvs = phrase_vectors_df(spark, forms, kb, fuzzy_map=fmap).localCheckpoint(eager=True)
         blocked = block_keys_df(pvs.select("norm"))
         pairs, salt_metrics = candidate_pairs(blocked, max_block)
@@ -199,7 +211,7 @@ def resolve(
         # touches lands in the cache).  Without this, an above-threshold
         # edge table pays the pairs->scoring chain twice (VERDICT r3 #1).
         edges = similarity_edges(scored, tau).localCheckpoint(eager=False)
-        labels = connected_components(edges)
+        labels = connected_components(edges, walls_out=stage_walls_out)
         clusters = assign_clusters(pvs.select("norm"), labels, n_forms=n_forms).localCheckpoint(
             eager=True
         )
@@ -312,10 +324,15 @@ class Pipeline:
         drops.  So every entry point scans the WAL first: for each orphan
         intent, delete every part file not in its pre-append snapshot and
         drop the intent — restoring the exact pre-batch table state.
-        (Overwrite-mode tail stages the crashed batch may have rewritten
-        are never user-visible stale: run() returns the last fully
-        committed `resolved`, and any run_incremental recomputes the whole
-        tail from the recovered append tables.)
+
+        Overwrite-mode TAIL stages (pairs…resolved) the crashed batch may
+        have rewritten are invalidated too (ADVICE r4, medium): the intent
+        carries a ``__tail__`` list and recovery strips those stages'
+        ``_SUCCESS`` markers, so a subsequent run() can never serve a
+        `resolved` (or any tail table) containing batch content whose
+        mention/phrase_vecs appends were just rolled back — _done() turns
+        false and the tail recomputes from the recovered append tables.
+        (Lineage rows from the crashed attempt remain: append-only audit.)
         """
         import json
 
@@ -331,6 +348,14 @@ class Pipeline:
             with open(os.path.join(wal_dir, name)) as fh:
                 snap = json.load(fh)
             for stage, keep_names in snap.items():
+                if stage == "__tail__":
+                    # overwrite-mode stages the batch may have rewritten:
+                    # drop their _SUCCESS so _done() forces a recompute
+                    for tail_stage in keep_names:
+                        marker = os.path.join(self._path(tail_stage), "_SUCCESS")
+                        if os.path.exists(marker):
+                            os.remove(marker)
+                    continue
                 keep = set(keep_names)
                 d = self._path(stage)
                 if not os.path.isdir(d):
@@ -566,6 +591,19 @@ class Pipeline:
         # snapshot the recovered listing as this batch's rollback point
         self._recover_wal()
         snap = {s: sorted(os.listdir(self._path(s))) for s in append_tables}
+        # overwrite-mode stages this batch will rewrite (ADVICE r4): if
+        # the batch dies uncommitted, recovery strips their _SUCCESS so
+        # no later run() serves tail content derived from rolled-back
+        # appends (see _recover_wal)
+        snap["__tail__"] = [
+            "mention_metrics",
+            "block_salt_metrics",
+            "pairs",
+            "scored",
+            "edges",
+            "clusters",
+            "resolved",
+        ]
         with open(intent_path + ".tmp", "w") as fh:
             json.dump(snap, fh)
         os.replace(intent_path + ".tmp", intent_path)

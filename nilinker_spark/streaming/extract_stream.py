@@ -51,7 +51,11 @@ def stream_mentions(
         import pandas as pd
 
         from nilinker_spark.functions.normalize import extract_text, norm_form
-        from nilinker_spark.operators.extract import _NORM_CACHE, _NORM_CACHE_MAX
+        from nilinker_spark.operators.extract import (
+            _NORM_CACHE,
+            _NORM_CACHE_MAX,
+            _evict_norm_cache,
+        )
         from nilinker_spark.oracle import extract_mentions, gazetteer_index
 
         gset = set(gz.value)
@@ -59,7 +63,11 @@ def stream_mentions(
         for pdf in batches:
             urls, mids, surfaces, poss, norms, tss = [], [], [], [], [], []
             if len(_NORM_CACHE) > _NORM_CACHE_MAX:
-                _NORM_CACHE.clear()
+                # shared Zipf-head-preserving eviction (VERDICT r4 #7):
+                # long-lived streaming workers keep the frequency head
+                # warm across evictions exactly like batch workers
+                # (a clear() re-paid the regex for every head token)
+                _evict_norm_cache()
             for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
                 text = extract_text(bytes(html))
                 for mid, surface, pos in extract_mentions(url, text, gset, _NORM_CACHE, gidx):

