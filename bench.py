@@ -81,13 +81,20 @@ WARM_REPLICATE = 24
 # Replicates are multiples of DIST_VARIANTS at every level (equal
 # vocabulary => the middle's work is IDENTICAL at lo and hi, and its
 # efficiency is the middle-wall ratio over the core ratio).
-# V=250 (~200k forms) per VERDICT r4 #3: doubles the compute:floor ratio
-# of the r4 V=125 evidence, and the floor is now broken out per draw.
-DIST_VARIANTS = int(os.environ.get("SPARK_GRAFT_DIST_VARIANTS", "250"))
+# Why V=125 and not the V=250 the round-4 verdict suggested: the V=250
+# ask existed to dilute the then-unmeasured ~5.5 s scale-invariant floor;
+# round 5 instead KILLED the floor (Arrow collect: cc_driver ~0.5 s,
+# 1-3% of the middle walls) and measures it per draw, so V=125 keeps the
+# rounds comparable with round 4 and inside the wall budget.  V=250
+# (193.5k forms) also crosses CC_DRIVER_MAX_EDGES (~660k raw edges), so
+# its middle runs the star-contraction loop — a DIFFERENT physical path
+# whose solo-pair measurement is recorded in BASELINE.md round-5 instead
+# of silently changing what this section compares.
+DIST_VARIANTS = int(os.environ.get("SPARK_GRAFT_DIST_VARIANTS", "125"))
 DIST_GAZ_BASE = int(os.environ.get("SPARK_GRAFT_DIST_GAZ_BASE", "800"))
 DIST_DOC_LIMIT = int(os.environ.get("SPARK_GRAFT_DIST_DOC_LIMIT", "250"))
-DIST_ROUNDS = int(os.environ.get("SPARK_GRAFT_DIST_ROUNDS", "3"))
-DIST_BUDGET_S = int(os.environ.get("SPARK_GRAFT_DIST_BUDGET_S", "520"))
+DIST_ROUNDS = int(os.environ.get("SPARK_GRAFT_DIST_ROUNDS", "4"))
+DIST_BUDGET_S = int(os.environ.get("SPARK_GRAFT_DIST_BUDGET_S", "420"))
 # measured host bound for ANY 2->8 comparison of this workload on this
 # box: four INDEPENDENT 2-core copies reach only ~1.7x aggregate
 # (tools/middle_saturation.py; BASELINE.md round-4) => ceiling ~0.42-0.43
@@ -415,13 +422,15 @@ def distributed_middle_section(lo_cores: str, hi_cores: str) -> dict | None:
         docs_eff = ((hi["docs"] / hi["sec"]) / (lo["docs"] / lo["sec"])) / ratio
         mid_eff = (lo["middle_s"] / hi["middle_s"]) / ratio
         # the middle's scale-invariant floor, MEASURED per draw (VERDICT
-        # r4 #3): one-shot prefuzz job + CC driver union-find/label build
-        # (pure single-threaded driver work; the probe's collect is
-        # excluded — it evaluates the upstream scoring plan, which is
-        # distributed compute).  compute_eff = the floor-subtracted
-        # middle ratio — what the middle's DISTRIBUTED stages scale at.
-        floor_lo = lo.get("prefuzz_s", 0.0) + lo.get("cc_driver_s", 0.0)
-        floor_hi = hi.get("prefuzz_s", 0.0) + hi.get("cc_driver_s", 0.0)
+        # r4 #3/#4): after the round-5 Arrow rework the floor is the CC
+        # driver union-find + label build alone (pure single-threaded
+        # driver work, ~0.5 s — r4's ~5.5 s floor was java-row collect
+        # latency, now gone).  prefuzz is DISTRIBUTED compute (its walls
+        # are reported per level below, showing its own scaling) and the
+        # probe's collect evaluates the upstream scoring plan — neither
+        # is floor.  compute_eff = the floor-subtracted middle ratio.
+        floor_lo = lo.get("cc_driver_s", 0.0)
+        floor_hi = hi.get("cc_driver_s", 0.0)
         comp_lo = max(lo["middle_s"] - floor_lo, 1e-6)
         comp_hi = max(hi["middle_s"] - floor_hi, 1e-6)
         comp_eff = (comp_lo / comp_hi) / ratio

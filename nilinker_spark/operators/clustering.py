@@ -27,14 +27,15 @@ from pyspark.sql import functions as F
 # Below this edge count the component structure is driver-trivial: collect
 # the (src, dst) list and run union-find in-process instead of paying
 # O(rounds) scheduler latency on a vocabulary-sized frame (~1.9 s of pure
-# round-trips for a 100-form graph; measured).  500k string-pair rows is
-# ~40 MB on the driver (union-find itself is ~1 s); the alternating-star
-# loop at that size is 4-5 rounds of ~6 sub-second stages each — ~12 s of
-# pure scheduler latency for the same answer (measured at 300k edges).
-# Above the threshold (10^7-form vocabularies at 100 TB, where the edge
-# table genuinely exceeds driver memory) the distributed loop runs
-# unchanged.
-CC_DRIVER_MAX_EDGES = int(os.environ.get("NILINKER_CC_DRIVER_MAX_EDGES", "500000"))
+# round-trips for a 100-form graph; measured).  Round 5 raises the
+# threshold 500k -> 2M: the collect is Arrow now (2M string-pair rows ~
+# 160 MB on a 32 g driver, union-find ~3 s), and the measured crossover
+# strongly favors the driver — at 660k edges the alternating-star loop
+# cost ~54 s of round-trip latency at 8 cores where driver union-find
+# took 1.2 s (round-5 V=250 measurement, BASELINE.md).  Above the
+# threshold (10^7-form vocabularies at 100 TB, where the edge table
+# genuinely exceeds driver memory) the distributed loop runs unchanged.
+CC_DRIVER_MAX_EDGES = int(os.environ.get("NILINKER_CC_DRIVER_MAX_EDGES", "2000000"))
 
 
 def _sym(edges: DataFrame) -> DataFrame:
@@ -113,16 +114,19 @@ def connected_components(
       list via Arrow and run min-representative union-find on the driver —
       one Spark job instead of O(rounds) shuffles, which on
       vocabulary-sized graphs is pure scheduler latency.  The probe is
-      ``distinct().limit(threshold+1).toPandas()``: distinct first
-      (ADVICE r4 — upstream pairs are a multiset, duplicate rows must not
-      push a small graph off the fast path, and it shrinks the collect),
-      Arrow because java-row collect() was ~3.3 s of the middle's
-      scale-invariant floor at 300k edges (VERDICT r4 #4) where the Arrow
-      batch transfer is ~10x cheaper.  The small case never materializes
-      more than threshold+1 rows.
+      TIERED so a 10^9-edge graph never pays a throwaway distinct
+      shuffle: first a plain count() (no shuffle; it also materializes
+      the caller's lazy checkpoint, which every path needs) — raw count
+      within the threshold proves the distinct fits, so collect it all;
+      raw count within 4x leaves room for duplicate inflation (upstream
+      pairs are a MULTISET, ADVICE r4 — dup rows must not push a small
+      graph off the fast path), so probe ``distinct().limit(t+1)`` over
+      the now-cached bounded table; beyond 4x go straight to the star
+      loop.  Collects are Arrow ``toPandas`` — java-row collect() was
+      ~3.3 s of the middle's scale-invariant floor at 300k edges
+      (VERDICT r4 #4); Arrow is ~10x cheaper.
     - otherwise: alternating large-star/small-star rounds (the 10^7-node
-      path; the oversized probe's partial work is recomputed, which is
-      noise at that scale).
+      path).
     """
     import time
 
@@ -131,12 +135,17 @@ def connected_components(
     spark = edges.sparkSession
     if driver_max_edges > 0:
         t0 = time.monotonic()
-        head = (
-            edges.select("src", "dst").distinct().limit(driver_max_edges + 1).toPandas()
-        )
+        e2 = edges.select("src", "dst")
+        n_raw = edges.count()
+        if n_raw <= driver_max_edges:
+            head = e2.distinct().toPandas()
+        elif n_raw <= 4 * driver_max_edges:
+            head = e2.distinct().limit(driver_max_edges + 1).toPandas()
+        else:
+            head = None
         if walls_out is not None:
             walls_out["cc_collect_s"] = time.monotonic() - t0
-        if len(head) <= driver_max_edges:
+        if head is not None and len(head) <= driver_max_edges:
             import pandas as pd
 
             from nilinker_spark.oracle import UnionFind
