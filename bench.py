@@ -468,14 +468,16 @@ def distributed_middle_section(lo_cores: str, hi_cores: str) -> dict | None:
     return {
         "n_forms": n_forms,
         "middle_path": "distributed",
-        "middle_efficiency": statistics.median(r["middle_eff"] for r in rounds),
-        "docs_efficiency": statistics.median(r["docs_eff"] for r in rounds),
+        "middle_efficiency": round(statistics.median(r["middle_eff"] for r in rounds), 3),
+        "docs_efficiency": round(statistics.median(r["docs_eff"] for r in rounds), 3),
         # floor fields as first-class artifact numbers (VERDICT r4 #3):
         # the scale-invariant floor per level and the floor-subtracted
         # compute-only efficiency of the middle's distributed stages
-        "middle_floor_s": statistics.median(r["floor_s_lo"] for r in rounds),
-        "middle_floor_s_hi": statistics.median(r["floor_s_hi"] for r in rounds),
-        "middle_compute_efficiency": statistics.median(r["compute_eff"] for r in rounds),
+        "middle_floor_s": round(statistics.median(r["floor_s_lo"] for r in rounds), 3),
+        "middle_floor_s_hi": round(statistics.median(r["floor_s_hi"] for r in rounds), 3),
+        "middle_compute_efficiency": round(
+            statistics.median(r["compute_eff"] for r in rounds), 3
+        ),
         # best (fastest) middle wall per level -> peak forms/sec
         "middle_forms_per_sec_lo": round(n_forms / min(r["middle_s_lo"] for r in rounds), 1),
         "middle_forms_per_sec_hi": round(n_forms / min(r["middle_s_hi"] for r in rounds), 1),
