@@ -140,3 +140,63 @@ def similarity_edges(scored: DataFrame, tau: float = TAU) -> DataFrame:
     return scored.filter(F.col("score") >= tau).select(
         F.col("norm_a").alias("src"), F.col("norm_b").alias("dst")
     )
+
+
+# Conservative float margin for the embedding-score prefilter below: the
+# string-feature term is bounded by (1-alpha)*1.0 exactly (lev and jw are
+# each <= 1.0 and 0.5*x is exact), so the only slack needed is for the
+# final add's rounding (~1 ulp, 1e-16 here) — 1e-7 is 10^9 ulps of head
+# room and still prunes everything meaningfully below the bound.
+PRUNE_MARGIN = 1e-7
+
+
+def fused_similarity_edges(
+    pairs: DataFrame,
+    pvs: DataFrame,
+    alpha: float = ALPHA,
+    tau: float = TAU,
+    n_forms: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """S4+S5 fused with an EXACT embedding-score prefilter: identical
+    output to ``similarity_edges(score_pairs(pairs, pvs, alpha), tau)``
+    (parity-tested, and gated end-to-end by the er_resolve oracle), but
+    pairs whose maximum achievable blended score cannot reach tau —
+    ``alpha*dot + (1-alpha) + PRUNE_MARGIN < tau``, string features at
+    their upper bound — are rejected BEFORE the string features run.
+
+    Why it matters at scale: the candidate multiset is vocabulary-
+    quadratic-within-blocks (9.5M pairs at a 193k-form vocabulary) while
+    true edges are ~7%; the embedding dot is a flat codegen expression,
+    but levenshtein is O(len^2) JVM work and Jaro-Winkler crosses to
+    Python over Arrow carrying both strings — per-pair the string
+    features cost ~10x the dot.  Pruning on the dot first means only the
+    plausible fraction pays strings or crosses Arrow, and the survivors'
+    scores are computed by the SAME expression tree (same add order,
+    same rounding) as score_pairs, so edges are bit-identical.
+
+    The checkpointed Pipeline keeps the unfused score_pairs stage — its
+    ``scored`` table is a user-facing contract (every pair's score);
+    this fused path is resolve()'s, where only the edges are observable.
+    """
+    if dim is None:
+        from nilinker_spark.fixtures.kb import EMB_DIM
+
+        dim = EMB_DIM
+    pv_a = pvs.select(F.col("norm").alias("norm_a"), F.col("pv").alias("pv_a"))
+    pv_b = pvs.select(F.col("norm").alias("norm_b"), F.col("pv").alias("pv_b"))
+    emb_part = F.lit(alpha) * dot_f64("pv_a", "pv_b", dim=dim)
+    keep_bound = F.lit(tau) - F.lit(1.0 - alpha + PRUNE_MARGIN)
+    score = F.col("emb_part") + F.lit(1.0 - alpha) * (
+        F.lit(0.5) * lev_ratio_col("norm_a", "norm_b")
+        + F.lit(0.5) * jaro_winkler_udf("norm_a", "norm_b")
+    )
+    return (
+        pairs.join(_maybe_broadcast(pv_a, n_forms), "norm_a")
+        .join(_maybe_broadcast(pv_b, n_forms), "norm_b")
+        .withColumn("emb_part", emb_part)
+        .filter(F.col("emb_part") >= keep_bound)
+        .withColumn("score", score)
+        .filter(F.col("score") >= tau)
+        .select(F.col("norm_a").alias("src"), F.col("norm_b").alias("dst"))
+    )

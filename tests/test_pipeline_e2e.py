@@ -244,8 +244,12 @@ def test_distributed_scoring_evaluates_once(spark, kb, webtext_df, monkeypatch, 
     cnt_dir.mkdir()
     d = str(cnt_dir)
 
-    def counting_score(pairs, pvs, alpha, n_forms=None):
-        scored = real_score(pairs, pvs, alpha, n_forms=n_forms)
+    from nilinker_spark.operators import scoring as SC
+
+    real_fused = SC.fused_similarity_edges
+
+    def counting_fused(pairs, pvs, alpha, tau, n_forms=None, dim=None):
+        edges = real_fused(pairs, pvs, alpha, tau, n_forms=n_forms, dim=dim)
 
         def tap(batches):
             import os
@@ -257,9 +261,12 @@ def test_distributed_scoring_evaluates_once(spark, kb, webtext_df, monkeypatch, 
                         fh.write(str(len(pdf)))
                 yield pdf
 
-        return scored.mapInPandas(tap, scored.schema)
+        return edges.mapInPandas(tap, edges.schema)
 
-    monkeypatch.setattr(P, "score_pairs", counting_score)
+    # resolve() imports fused_similarity_edges from the scoring module at
+    # call time, so patching the module attribute taps the edge table the
+    # CC probe and the star loop both consume
+    monkeypatch.setattr(SC, "fused_similarity_edges", counting_fused)
     monkeypatch.setattr(P, "DRIVER_VOCAB_MAX", 0)  # force the distributed middle
     # probe threshold 1: the limit(2).collect() probe RUNS and overflows,
     # so the alternating-star loop runs too — the regression scenario
@@ -279,15 +286,14 @@ def test_distributed_scoring_evaluates_once(spark, kb, webtext_df, monkeypatch, 
     forms = mentions.select("norm").distinct()
     pvs = phrase_vectors_df(spark, forms, kb)
     pairs, _ = candidate_pairs(block_keys_df(pvs.select("norm")), MAX_BLOCK_FORMS)
-    expected = pairs.count()
     # non-vacuous: the loop really had > threshold edges to chew on
     from nilinker_spark.operators.scoring import similarity_edges
 
-    n_edges = similarity_edges(real_score(pairs, pvs, P.ALPHA), P.TAU).count()
+    expected = similarity_edges(real_score(pairs, pvs, P.ALPHA), P.TAU).count()
     spark.catalog.clearCache()
-    assert expected > 0 and n_edges > 1
+    assert pairs.count() > 0 and expected > 1
     assert total == expected, (
-        f"scoring subtree evaluated {total} rows for {expected} pairs "
+        f"edge subtree evaluated {total} rows for {expected} edges "
         f"({total / expected:.2f}x) — the CC probe recomputed it"
     )
 
@@ -322,3 +328,108 @@ def test_prefuzz_map_matches_scalar_fuzzy(spark, kb):
     assert known not in fmap  # in-vocab tokens never enter the map
     for tok, wid in fmap.items():
         assert wid == kb.word2id[fuzzy_best_match(tok, vocab)]
+
+
+def test_fused_edges_equal_unfused(spark, kb, webtext_df):
+    """The fused S4+S5 prefilter path (resolve()'s) must emit EXACTLY the
+    edges of the unfused score-then-threshold path (the Pipeline's), and
+    the prefilter must actually prune (non-vacuous)."""
+    from nilinker_spark.operators.blocking import (
+        block_keys_df,
+        phrase_vectors_df,
+        prefuzz_map,
+    )
+    from nilinker_spark.operators.extract import extract_mentions_df
+    from nilinker_spark.operators.pairs import candidate_pairs
+    from nilinker_spark.operators.scoring import (
+        PRUNE_MARGIN,
+        dot_f64,
+        fused_similarity_edges,
+        score_pairs,
+        similarity_edges,
+    )
+    from nilinker_spark.oracle import ALPHA, TAU
+
+    gaz = {norm_form(s) for s, _, _ in kb.surface_forms}
+    mentions = extract_mentions_df(spark, webtext_df, gaz)
+    forms = mentions.select("norm").distinct()
+    pvs = phrase_vectors_df(
+        spark, forms, kb, fuzzy_map=prefuzz_map(spark, forms, kb)
+    ).localCheckpoint(eager=True)
+    pairs, _m = candidate_pairs(block_keys_df(pvs.select("norm")))
+
+    full = {
+        (r["src"], r["dst"])
+        for r in similarity_edges(score_pairs(pairs, pvs, ALPHA), TAU).collect()
+    }
+    fused = {
+        (r["src"], r["dst"])
+        for r in fused_similarity_edges(pairs, pvs, ALPHA, TAU).collect()
+    }
+    assert fused == full and full, "fused edge set diverged (or corpus has no edges)"
+
+    # the prefilter really drops pairs (non-vacuous pruning)
+    import pyspark.sql.functions as F
+
+    pv_a = pvs.select(F.col("norm").alias("norm_a"), F.col("pv").alias("pv_a"))
+    pv_b = pvs.select(F.col("norm").alias("norm_b"), F.col("pv").alias("pv_b"))
+    bound = TAU - (1.0 - ALPHA + PRUNE_MARGIN)
+    joined = pairs.join(pv_a, "norm_a").join(pv_b, "norm_b")
+    n_pruned = joined.filter(
+        F.lit(ALPHA) * dot_f64("pv_a", "pv_b", dim=len(kb.weights.b_a[0])) < F.lit(bound)
+    ).count()
+    assert n_pruned > 0, "nothing below the prune bound — test corpus too easy"
+
+
+def test_fused_edges_boundary_pairs(spark):
+    """Synthetic pairs engineered AT the prune bound: alpha*dot sits
+    within ~1e-9 of tau-(1-alpha) on both sides.  The conservative
+    PRUNE_MARGIN must keep every pair whose full score could still reach
+    tau, so fused == unfused even on the knife edge."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from nilinker_spark.operators.scoring import (
+        fused_similarity_edges,
+        score_pairs,
+        similarity_edges,
+    )
+    from nilinker_spark.oracle import ALPHA, TAU
+
+    dim = 16
+    bound_dot = (TAU - (1.0 - ALPHA)) / ALPHA
+    rows_pv, rows_pairs = [], []
+    # long near-identical strings push strf toward 1.0 (the prefilter's
+    # worst case); eps spans rejected / knife-edge / kept regimes
+    for i, eps in enumerate([-1e-6, -1e-9, 0.0, 1e-9, 1e-6, 1e-3, 0.05, 0.15]):
+        d = min(max(bound_dot + eps, -1.0), 1.0)
+        v1 = np.zeros(dim, dtype=np.float32)
+        v1[0] = 1.0
+        v2 = np.zeros(dim, dtype=np.float32)
+        v2[0] = np.float32(d)
+        v2[1] = np.float32(np.sqrt(max(0.0, 1.0 - float(v2[0]) ** 2)))
+        stem = "a" * 19
+        a, b = f"{stem}e{i:02d}", f"{stem}f{i:02d}"  # strf ~0.97, a < b
+        rows_pv.append((a, [float(x) for x in v1]))
+        rows_pv.append((b, [float(x) for x in v2]))
+        rows_pairs.append((a, b))
+    schema = T.StructType(
+        [
+            T.StructField("norm", T.StringType()),
+            T.StructField("pv", T.ArrayType(T.FloatType())),
+        ]
+    )
+    pvs = spark.createDataFrame(rows_pv, schema)
+    pairs = spark.createDataFrame(rows_pairs, "norm_a string, norm_b string")
+    full = {
+        (r["src"], r["dst"])
+        for r in similarity_edges(score_pairs(pairs, pvs, ALPHA, dim=dim), TAU).collect()
+    }
+    fused = {
+        (r["src"], r["dst"])
+        for r in fused_similarity_edges(pairs, pvs, ALPHA, TAU, dim=dim).collect()
+    }
+    assert fused == full
+    assert full, "no kept edge in the boundary set — widen the eps range"
+    assert len(full) < len(rows_pairs), "no rejected pair — boundary not exercised"
