@@ -149,6 +149,19 @@ def similarity_edges(scored: DataFrame, tau: float = TAU) -> DataFrame:
 # room and still prunes everything meaningfully below the bound.
 PRUNE_MARGIN = 1e-7
 
+# The fused path's JW handle, flagged non-deterministic.  The function IS
+# deterministic — the flag exists purely to stop Catalyst pushing the
+# final score>=tau filter through the UDF projection into the pv_b join
+# condition.  Without it the optimizer rewrites fused into EXACTLY the
+# unfused plan shape (ArrowEvalPython below the join, full score as the
+# join condition) — JW runs on every pair and the prefilter buys nothing;
+# worse, the duplicated dot pushes the join condition past the codegen
+# budget and the whole condition evaluates INTERPRETED (measured 25 s vs
+# 7 s unfused at 4.76M pairs).  Flagged, the plan is: pv joins with the
+# dot-bound as the ONLY join condition -> ArrowEvalPython over survivors
+# -> score filter.  Same rows either way; only plan placement changes.
+_jw_prune_barrier = jaro_winkler_udf.asNondeterministic()
+
 
 def fused_similarity_edges(
     pairs: DataFrame,
@@ -189,7 +202,7 @@ def fused_similarity_edges(
     keep_bound = F.lit(tau) - F.lit(1.0 - alpha + PRUNE_MARGIN)
     score = F.col("emb_part") + F.lit(1.0 - alpha) * (
         F.lit(0.5) * lev_ratio_col("norm_a", "norm_b")
-        + F.lit(0.5) * jaro_winkler_udf("norm_a", "norm_b")
+        + F.lit(0.5) * _jw_prune_barrier("norm_a", "norm_b")
     )
     return (
         pairs.join(_maybe_broadcast(pv_a, n_forms), "norm_a")
