@@ -168,3 +168,33 @@ def test_cluster_assign_broadcast_conditional(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_fused_edges_jw_above_joins(spark):
+    """The fused S4+S5 prefilter only pays off if the plan keeps the
+    Jaro-Winkler Arrow stage ABOVE the pv joins (evaluating survivors
+    only) with the dot-product bound as the sole join condition.  Without
+    the _jw_prune_barrier non-deterministic flag Catalyst pushes the
+    score filter through the UDF projection into the join condition —
+    JW back on every pair, and the duplicated dot blows the condition
+    past the codegen budget into interpreted evaluation (measured 25 s
+    vs 7 s unfused at 4.76M pairs).  Guard the shape so an optimizer
+    change reintroducing the pushdown is caught here, not in a bench."""
+    from nilinker_spark.operators.scoring import fused_similarity_edges
+    from nilinker_spark.plans import explain_str
+
+    pairs = spark.createDataFrame([("a", "b")], "norm_a string, norm_b string")
+    pvs = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "norm string, pv array<float>"
+    )
+    txt = explain_str(fused_similarity_edges(pairs, pvs, dim=2))
+    tree = txt.split("\n\n")[0].splitlines()
+    arrow = [i for i, ln in enumerate(tree) if "ArrowEvalPython" in ln]
+    joins = [i for i, ln in enumerate(tree) if "BroadcastHashJoin" in ln]
+    assert arrow and joins, txt
+    # parents print above children in the formatted tree: the Arrow stage
+    # must sit above (consume the output of) every pv join
+    assert arrow[0] < min(joins), txt
+    # and no join condition may reference the extracted UDF column
+    conds = [ln for ln in txt.splitlines() if "Join condition" in ln]
+    assert conds and not any("pythonUDF" in c for c in conds), conds
