@@ -272,7 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = lambda spark, sf: C.simhash(_docs(spark, sf))
 
     def embedding_neardup(spark, sf):
-        return C.embedding_neardup_pairs(load_table(spark, sf, "embeddings"), threshold=0.5)
+        return C.embedding_neardup_pairs(load_table(spark, sf, "embeddings"), threshold=0.5, dim=64)
 
     q["embedding_neardup"] = embedding_neardup
 
@@ -285,7 +285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ann_topk(spark, sf):
         emb = load_table(spark, sf, "embeddings")
-        return C.ann_topk_bruteforce(emb, _queries_df(spark, sf), k=5)
+        return C.ann_topk_bruteforce(emb, _queries_df(spark, sf), k=5, dim=64)
 
     q["ann_topk"] = ann_topk
 
@@ -300,7 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ann_topk_ivf(spark, sf):
         emb = load_table(spark, sf, "embeddings")
-        return C.ann_topk_ivf(emb, _queries_df(spark, sf), k=5, n_centroids=16, n_probe=4)
+        return C.ann_topk_ivf(emb, _queries_df(spark, sf), k=5, n_centroids=16, n_probe=4, dim=64)
 
     # the second ANN scale path (brief: "IVF or LSH-bucketed"): md5-stride
     # centroids are deterministic and engine-reproducible, so the whole
@@ -316,7 +316,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         trained path is oracle-checked, not just recall-tested."""
         emb = load_table(spark, sf, "embeddings")
         return C.ann_topk_ivf(
-            emb, _queries_df(spark, sf), k=5, n_centroids=16, n_probe=4, lloyd_iters=1
+            emb,
+            _queries_df(spark, sf),
+            k=5,
+            n_centroids=16,
+            n_probe=4,
+            lloyd_iters=1,
+            dim=64,
         )
 
     q["ann_topk_ivf_trained"] = ann_topk_ivf_trained
@@ -538,7 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qdf = emb.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
         )
-        top = C.ann_topk_bruteforce(emb, qdf, k=2)
+        top = C.ann_topk_bruteforce(emb, qdf, k=2, dim=64)
         w = Window.partitionBy("query_id").orderBy("rank")
         gapped = (
             top.withColumn("next_cos", F.lead("cos").over(w))
@@ -602,7 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qdf = emb.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
         )
-        top = C.ann_topk_bruteforce(emb, qdf, k=5)
+        top = C.ann_topk_bruteforce(emb, qdf, k=5, dim=64)
         preds = top.groupBy("query_id").agg(
             F.transform(
                 F.sort_array(F.collect_list(F.struct("rank", "vec_id"))),

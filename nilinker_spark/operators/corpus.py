@@ -310,47 +310,79 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return wide.select("doc_id", val.alias("simhash"))
 
 
-def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.8) -> DataFrame:
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.8, dim: int | None = None
+) -> DataFrame:
     """Brute-force cosine near-dup pairs over (vec_id, embedding).
 
     Baseline path (quadratic): kept for correctness; the scale path is
-    :func:`ann_topk_lsh` / LSH bucketing.  Cosine is computed JVM-side
-    with zip_with/aggregate in float64.
+    :func:`ann_topk_lsh` / LSH bucketing.  Cosine is computed JVM-side in
+    float64; per-row norms are computed ONCE per side before the
+    theta-join (O(N·d) instead of O(N²·d)), and ``dim`` unrolls the dot
+    into a codegen expression — both bit-identical to the naive per-pair
+    form (same folds over the same row values, same multiply/divide
+    order).
     """
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        _norm("embedding", dim=dim).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        _norm("embedding", dim=dim).alias("nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cos", F.round(_cosine("ea", "eb"), 4))
+        pairs.withColumn(
+            "cos", F.round(_dot("ea", "eb", dim=dim) / (F.col("na") * F.col("nb")), 4)
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
 
 
-def _dot(col_a: str, col_b: str) -> F.Column:
-    return F.aggregate(
-        F.zip_with(F.col(col_a), F.col(col_b), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _dot(col_a: str, col_b: str, dim: int | None = None) -> F.Column:
+    """Float64 sequential-fold dot product; with ``dim`` the fold is
+    UNROLLED into a flat codegen expression (shared with the pair-scoring
+    stage — see scoring.dot_f64 and the round-5 profile: the zip_with/
+    aggregate higher-order form is interpreted per element AND breaks
+    whole-stage codegen for its whole projection).  Bit-identical either
+    way: left-associated adds, exact float32→float64 casts."""
+    from nilinker_spark.operators.scoring import dot_f64
+
+    return dot_f64(col_a, col_b, dim=dim)
 
 
-def _norm(col: str) -> F.Column:
-    return F.sqrt(F.aggregate(F.col(col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+def _norm(col: str, dim: int | None = None) -> F.Column:
+    return F.sqrt(_dot(col, col, dim=dim))
 
 
-def _cosine(col_a: str, col_b: str) -> F.Column:
-    return _dot(col_a, col_b) / (_norm(col_a) * _norm(col_b))
+def _cosine(col_a: str, col_b: str, dim: int | None = None) -> F.Column:
+    return _dot(col_a, col_b, dim=dim) / (_norm(col_a, dim=dim) * _norm(col_b, dim=dim))
 
 
-def ann_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+def ann_topk_bruteforce(
+    emb: DataFrame, queries: DataFrame, k: int = 5, dim: int | None = None
+) -> DataFrame:
     """Exact top-k cosine neighbors per query vector (the ANN baseline).
 
     queries(query_id, q_embedding) × emb(vec_id, embedding), broadcast the
     queries (small side), window top-k with deterministic tie-break.
+    Norms are computed once per vector BEFORE the N×Q join (not once per
+    pair), and ``dim`` unrolls the dot into codegen — identical bits
+    (same folds over the same rows, same multiply/divide order).
     """
-    joined = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-    scored = joined.withColumn("cos", F.round(_cosine("embedding", "q_embedding"), 4))
+    emb_n = emb.withColumn("_ne", _norm("embedding", dim=dim))
+    q_n = queries.withColumn("_nq", _norm("q_embedding", dim=dim))
+    joined = emb_n.join(F.broadcast(q_n), F.col("vec_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cos",
+        F.round(
+            _dot("embedding", "q_embedding", dim=dim) / (F.col("_ne") * F.col("_nq")), 4
+        ),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -382,23 +414,41 @@ def hyperplane_weights(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
-def lsh_signature(vec_col: str, planes: list[list[float]]) -> F.Column:
+def lsh_signature(
+    vec_col: str, planes: list[list[float]], dim: int | None = None
+) -> F.Column:
     """Bit-string signature: sign of <vec, plane> per hyperplane.
 
     Requires uniform-dimension vectors (standard for an embedding table);
     the dot is a sequential float64 fold — the same rounding order the
-    DuckDB oracle uses, so signatures agree bit-for-bit cross-engine."""
+    DuckDB oracle uses, so signatures agree bit-for-bit cross-engine.
+    With ``dim`` (must equal each plane's length) the fold unrolls into a
+    flat codegen expression — identical adds, no interpreted
+    higher-order-function stage."""
     bits = []
     for row in planes:
-        w = F.array(*[F.lit(v) for v in row])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), w, lambda x, wv: x.cast("double") * wv),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        # a vector whose length != dim null-poisons the fold; fail loudly
-        # instead of silently hashing every such row into the "0" bucket
-        guard = F.assert_true(dot.isNotNull(), F.lit("lsh_signature: vector length != dim"))
+        if dim is not None:
+            if len(row) != dim:
+                raise ValueError(f"lsh_signature: plane length {len(row)} != dim {dim}")
+            dot = F.lit(0.0)
+            for d, wv in enumerate(row):
+                dot = dot + F.col(vec_col)[d].cast("double") * F.lit(wv)
+            # the HOF fold null-poisons on a length mismatch and the
+            # assert below fails loudly; unrolled GetArrayItem would
+            # silently read a PREFIX of longer vectors, so guard the
+            # length explicitly (short vectors still throw under ANSI)
+            ok = F.size(F.col(vec_col)) == dim
+        else:
+            w = F.array(*[F.lit(v) for v in row])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), w, lambda x, wv: x.cast("double") * wv),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            # a vector whose length != dim null-poisons the fold; fail
+            # loudly instead of silently hashing into the "0" bucket
+            ok = dot.isNotNull()
+        guard = F.assert_true(ok, F.lit("lsh_signature: vector length != dim"))
         bits.append(F.when(guard.isNull() & (dot > 0), F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -414,10 +464,10 @@ def ann_topk_lsh(
     1000 executors this is an equi-join on the signature, not a crossJoin.
     """
     planes = hyperplane_weights(n_planes, dim)
-    emb_sig = emb.withColumn("sig", lsh_signature("embedding", planes))
-    q_sig = queries.withColumn("sig", lsh_signature("q_embedding", planes))
+    emb_sig = emb.withColumn("sig", lsh_signature("embedding", planes, dim=dim))
+    q_sig = queries.withColumn("sig", lsh_signature("q_embedding", planes, dim=dim))
     cands = emb_sig.join(F.broadcast(q_sig), "sig").filter(F.col("vec_id") != F.col("query_id"))
-    scored = cands.withColumn("cos", F.round(_cosine("embedding", "q_embedding"), 4))
+    scored = cands.withColumn("cos", F.round(_cosine("embedding", "q_embedding", dim=dim), 4))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -567,14 +617,26 @@ def embedding_neardup_lsh(
     the signature instead of an O(n²) theta-join — recall is approximate
     (near-identical vectors almost always share all plane signs)."""
     sig = emb.withColumn(
-        "sig", lsh_signature("embedding", hyperplane_weights(n_planes, dim))
+        "sig", lsh_signature("embedding", hyperplane_weights(n_planes, dim), dim=dim)
     )
-    a = sig.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "sig")
-    b = sig.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "sig")
+    a = sig.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        _norm("embedding", dim=dim).alias("na"),
+        "sig",
+    )
+    b = sig.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        _norm("embedding", dim=dim).alias("nb"),
+        "sig",
+    )
     return (
         a.join(b, "sig")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(_cosine("ea", "eb"), 4))
+        .withColumn(
+            "cos", F.round(_dot("ea", "eb", dim=dim) / (F.col("na") * F.col("nb")), 4)
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -620,7 +682,7 @@ def dedup_clusters(
     )
 
 
-def _ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+def _ivf_assign(emb: DataFrame, cents: DataFrame, dim: int | None = None) -> DataFrame:
     """(vec_id, cell): each vector joins its max-cosine centroid (tie ->
     lowest cell id) via a broadcast join against the ~C-row centroid
     table — N×C work, never N².
@@ -630,7 +692,7 @@ def _ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     ORDER differs between Spark's sequential fold and DuckDB's
     list_dot_product — rounding absorbs the ulps, like the ANN twins)."""
     scored = emb.join(F.broadcast(cents)).withColumn(
-        "cos_c", F.round(_cosine("embedding", "c_embedding"), 4)
+        "cos_c", F.round(_cosine("embedding", "c_embedding", dim=dim), 4)
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
     return (
@@ -645,6 +707,7 @@ def ivf_cells(
     n_centroids: int = 16,
     lloyd_iters: int = 0,
     emb_count: int | None = None,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: (centroids, assignments).
 
@@ -682,7 +745,7 @@ def ivf_cells(
         .withColumn("cell", F.row_number().over(Window.orderBy("c_vec_id")) - 1)
         .drop("c_vec_id")
     )
-    assign = _ivf_assign(emb, cents)
+    assign = _ivf_assign(emb, cents, dim=dim)
     for _ in range(lloyd_iters):
         comp = emb.join(assign, "vec_id").select(
             "cell", F.posexplode("embedding").alias("dim", "v")
@@ -699,7 +762,7 @@ def ivf_cells(
                 F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
             ).alias("c_embedding")
         )
-        assign = _ivf_assign(emb, cents)
+        assign = _ivf_assign(emb, cents, dim=dim)
     return cents, assign
 
 
@@ -710,6 +773,7 @@ def ann_topk_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     lloyd_iters: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: probe the ``n_probe`` nearest cells.
 
@@ -720,9 +784,9 @@ def ann_topk_ivf(
     shape and tie-breaks as :func:`ann_topk_bruteforce`; recall < 1 by
     construction (tested against the exact baseline).
     """
-    cents, assign = ivf_cells(emb, n_centroids, lloyd_iters=lloyd_iters)
+    cents, assign = ivf_cells(emb, n_centroids, lloyd_iters=lloyd_iters, dim=dim)
     q_scored = queries.join(F.broadcast(cents)).withColumn(
-        "cos_c", F.round(_cosine("q_embedding", "c_embedding"), 4)
+        "cos_c", F.round(_cosine("q_embedding", "c_embedding", dim=dim), 4)
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cell"))
     probes = (
@@ -733,7 +797,7 @@ def ann_topk_ivf(
     cand = emb.join(assign, "vec_id").join(
         F.broadcast(probes), "cell"
     ).filter(F.col("vec_id") != F.col("query_id"))
-    scored = cand.withColumn("cos", F.round(_cosine("embedding", "q_embedding"), 4))
+    scored = cand.withColumn("cos", F.round(_cosine("embedding", "q_embedding", dim=dim), 4))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
