@@ -516,8 +516,16 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    t_scaling0 = time.monotonic()
-    budget_s = int(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "450"))
+    # 360 s of PURE round time (the clock starts after the warm/control
+    # below): ~4-5 rounds in a quiet window, 3 in a slow one — the old
+    # 450 s included warm+control, so the effective round time was LESS
+    budget_s = int(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "360"))
+    # a single round is a point estimate with no window diversity — the
+    # median wants >= 2 rounds, so the second is admitted regardless of
+    # the budget (round-5 finding: a slow host window stretched the warm
+    # + control to ~280 s of the budget and collapsed the section to ONE
+    # capped round)
+    min_rounds = min(int(os.environ.get("SPARK_GRAFT_MIN_ROUNDS", "2")), MAX_ROUNDS)
     rep_lo = REPLICATE_PER_CPU * LO_CPUS
     rep_hi = REPLICATE_PER_CPU * HI_CPUS
 
@@ -546,16 +554,21 @@ def main() -> None:
     except Exception:
         multijvm = None  # control is corroboration, never the blocker
 
+    # the rounds budget starts HERE: the discarded warm run and the
+    # multi-JVM control above are fixed-cost corroboration, and counting
+    # their (host-window-dependent) wall against the v7 rounds is what
+    # starved this section to one round in round 5's validation session
+    t_scaling0 = time.monotonic()
     rounds: list[dict] = []
     attempts = 0
     while len(rounds) < MAX_ROUNDS and attempts < 2 * MAX_ROUNDS:
         attempts += 1
         elapsed = time.monotonic() - t_scaling0
-        if rounds:
+        if len(rounds) >= min_rounds:
             mean_round = sum(r["wall"] for r in rounds) / len(rounds)
             if elapsed + mean_round > budget_s:
                 break  # whole-round admission: never a half round
-        elif elapsed > 2 * budget_s:
+        elif not rounds and elapsed > 2 * budget_s:
             break  # nothing succeeded and we are far over budget: give up
         t_r0 = time.monotonic()
         sync_dir = tempfile.mkdtemp(prefix="er_sync_")
