@@ -30,6 +30,7 @@ from nilinker_spark.operators.extract import extract_mentions_df
 from nilinker_spark.operators.pairs import candidate_pairs
 from nilinker_spark.operators.scoring import score_pairs, similarity_edges
 from nilinker_spark.oracle import ALPHA, MAX_BLOCK_FORMS, TAU
+from nilinker_spark.snapshots import SnapshotLog
 
 STAGES = ["mentions", "phrase_vecs", "pairs", "scored", "edges", "clusters", "resolved"]
 
@@ -285,6 +286,9 @@ class Pipeline:
         (re-reading truncates lineage like an Iceberg snapshot would)."""
         t0 = time.monotonic()
         df.write.mode("overwrite").parquet(self._path(stage))
+        # overwrite physically replaced the part files, so prior versions
+        # of this stage are expired history (snapshots.py module docs)
+        SnapshotLog(self._path(stage)).commit("overwrite")
         out = self.spark.read.parquet(self._path(stage))
         stats = out.agg(
             F.count("*").alias("rows"),
@@ -304,6 +308,9 @@ class Pipeline:
         audit; _done() only needs >= 1 row)."""
         t0 = time.monotonic()
         df.write.mode("append").parquet(self._path(stage))
+        # append preserves prior files: every earlier version of this
+        # stage stays readable (time travel) until vacuum_stage()
+        SnapshotLog(self._path(stage)).commit("append")
         out = self.spark.read.parquet(self._path(stage))
         stats = out.agg(
             F.count("*").alias("rows"),
@@ -366,14 +373,43 @@ class Pipeline:
                 d = self._path(stage)
                 if not os.path.isdir(d):
                     continue
+                removed = False
                 for fn in os.listdir(d):
                     p = os.path.join(d, fn)
                     if fn not in keep and os.path.isfile(p):
                         os.remove(p)
+                        removed = True
+                # the crashed batch may have PUBLISHED append snapshots
+                # whose files were just deleted; publish the recovered
+                # listing so the latest version is the pre-batch state
+                # again (the batch's versions stay as expired history)
+                log = SnapshotLog(d)
+                if removed and log.latest_version() is not None:
+                    log.commit("rollback")
             os.remove(os.path.join(wal_dir, name))
 
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.ckpt_dir, "lineage_log"))
+
+    # --- snapshot surface (time travel / history / storage reclaim) --------
+    def read_stage(self, stage: str, version: int | None = None) -> DataFrame:
+        """Snapshot-isolated read of a stage table.
+
+        ``version=None`` reads the LATEST COMMITTED version — unlike
+        :meth:`_load`, a concurrent append can never tear the read.  An
+        explicit ``version`` time-travels an append table (``mentions``,
+        ``phrase_vecs``) to any state before later appends; versions an
+        overwrite/compact replaced raise ``SnapshotExpired``
+        (snapshots.py module docs)."""
+        return SnapshotLog(self._path(stage)).read(self.spark, version)
+
+    def stage_history(self, stage: str) -> list[dict]:
+        """Committed versions of a stage table, oldest first."""
+        return SnapshotLog(self._path(stage)).history()
+
+    def vacuum_stage(self, stage: str, retain_last: int = 1) -> list[str]:
+        """Reclaim data files only pre-``retain_last`` versions reference."""
+        return SnapshotLog(self._path(stage)).vacuum(retain_last)
 
     # --- stages -------------------------------------------------------------
     def run(self, webtext: DataFrame, stop_after: str | None = None) -> DataFrame | None:
@@ -497,6 +533,14 @@ class Pipeline:
         if os.path.exists(old):
             if os.path.exists(src):
                 shutil.rmtree(old)
+                # the crashed compaction swapped the files in but died
+                # before its snapshot commit: publish the current state
+                # so the latest version is readable again (pre-compact
+                # versions stay as expired history either way; the log
+                # is a SIBLING dir, untouched by the directory swap)
+                log = SnapshotLog(src)
+                if log.latest_version() is not None:
+                    log.commit("compact-recovered")
             else:
                 os.replace(old, src)
 
@@ -522,6 +566,10 @@ class Pipeline:
         os.replace(src, old)
         os.replace(tmp, src)
         shutil.rmtree(old)
+        # the old part files are gone: prior versions expire, the compact
+        # commit is the new latest (the log is a sibling directory, so
+        # the swap never touches it — snapshots.py module docs)
+        SnapshotLog(src).commit("compact")
         lineage_row = [
             (
                 f"compact:{stage}",

@@ -1,0 +1,284 @@
+"""Snapshot log: isolation, time travel, CAS commits, expiry, vacuum,
+and its composition with the pipeline's WAL and compaction.
+
+The transaction-log half of the Iceberg stand-in (snapshots.py module
+docs; README swap table).  The reference has no table format at all —
+it rewrites pickle/npy files in place (≙ src/REEL/pre_process.py:250)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from nilinker_spark.pipeline import Pipeline
+from nilinker_spark.snapshots import (
+    SnapshotConflict,
+    SnapshotExpired,
+    SnapshotLog,
+    list_data_files,
+)
+
+
+def _write(spark, path, rows, mode="overwrite", schema="id long, val string"):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(path)
+
+
+def test_commit_read_roundtrip_and_history(spark, tmp_path):
+    d = str(tmp_path / "t")
+    log = SnapshotLog(d)
+    assert log.latest_version() is None
+
+    _write(spark, d, [(1, "a"), (2, "b")])
+    assert log.commit("overwrite") == 0
+    _write(spark, d, [(3, "c")], mode="append")
+    assert log.commit("append") == 1
+
+    assert sorted(r.id for r in log.read(spark).collect()) == [1, 2, 3]
+    assert sorted(r.id for r in log.read(spark, 0).collect()) == [1, 2]
+    hist = log.history()
+    assert [h["version"] for h in hist] == [0, 1]
+    assert [h["operation"] for h in hist] == ["overwrite", "append"]
+
+
+def test_snapshot_isolation_under_concurrent_append(spark, tmp_path):
+    """A reader pinned to a version sees NONE of a later append — the
+    property a live-directory read (spark.read.parquet(dir)) lacks."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    v0 = log.commit("overwrite")
+
+    pinned = log.read(spark, v0)  # resolved to v0's files at plan time
+    _write(spark, d, [(2, "b")], mode="append")
+    log.commit("append")
+
+    assert [r.id for r in pinned.collect()] == [1]
+    assert sorted(r.id for r in log.read(spark).collect()) == [1, 2]
+
+
+def test_concurrent_writers_cas(spark, tmp_path):
+    """Two writers race from the same base version: exactly one wins;
+    the loser gets SnapshotConflict and its retry lands on top."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    w1, w2 = SnapshotLog(d), SnapshotLog(d)
+    base_files = list_data_files(d)
+
+    assert w1.commit("overwrite", files=base_files) == 0
+    # w2 read latest == None before w1 published; its commit targets v0
+    import json
+
+    manifest_v0 = w2._version_path(0)
+    assert os.path.exists(manifest_v0)
+    with pytest.raises(SnapshotConflict):
+        # simulate the stale-base race: force w2 to target version 0
+        tmp = os.path.join(w2.log_dir, ".tmp-race.json")
+        with open(tmp, "w") as fh:
+            json.dump({"version": 0, "operation": "append", "files": base_files,
+                       "schema": None, "parent": None, "ts": 0.0}, fh)
+        try:
+            os.link(tmp, manifest_v0)
+        except FileExistsError:
+            raise SnapshotConflict("raced") from None
+        finally:
+            os.remove(tmp)
+    # the losing writer retries against the fresh latest and succeeds
+    assert w2.commit("append") == 1
+    # no stale temp manifests leak into the log dir
+    assert not [n for n in os.listdir(w2.log_dir) if n.startswith(".tmp")]
+
+
+def test_expired_version_raises_not_misreads(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    log.commit("overwrite")
+    _write(spark, d, [(9, "z")])  # overwrite replaces the part files
+    log.commit("overwrite")
+
+    assert [r.id for r in log.read(spark).collect()] == [9]
+    with pytest.raises(SnapshotExpired):
+        log.read(spark, 0)
+    # history of the expired version is still auditable
+    assert log.history()[0]["version"] == 0
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Append files carrying a NEW column: the latest version null-fills
+    old files under its wider schema; the old version reads with its own
+    narrower schema (no phantom column)."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    v0 = log.commit("overwrite")
+    _write(spark, d, [(2, "b", 7.5)], mode="append", schema="id long, val string, score double")
+    v1 = log.commit("append")
+
+    old = log.read(spark, v0)
+    assert old.columns == ["id", "val"]
+    new = log.read(spark, v1).toPandas().sort_values("id")
+    assert list(new.columns) == ["id", "val", "score"]
+    assert new[new.id == 1]["score"].isna().all()
+    assert new[new.id == 2]["score"].iloc[0] == 7.5
+
+
+def test_vacuum_reclaims_only_unreferenced(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    log.commit("overwrite")
+    _write(spark, d, [(2, "b")], mode="append")
+    log.commit("append")
+    n_before = len(list_data_files(d))
+
+    # retaining both versions reclaims nothing
+    assert log.vacuum(retain_last=2) == []
+    assert len(list_data_files(d)) == n_before
+
+    # retaining only the latest still reclaims nothing for an append
+    # chain (v1 references v0's files too)
+    assert log.vacuum(retain_last=1) == []
+
+    # after an overwrite, the pre-overwrite files are referenced only by
+    # expired versions -> vacuum reclaims exactly those
+    pinned_files = set(SnapshotLog(d).snapshot()["files"])
+    _write(spark, d, [(3, "c")])
+    log.commit("overwrite")
+    # overwrite already deleted the old files physically; vacuum must
+    # not fail on already-gone files and must not touch the live set
+    deleted = log.vacuum(retain_last=1)
+    assert set(deleted).isdisjoint(set(SnapshotLog(d).snapshot()["files"]))
+    assert sorted(r.id for r in log.read(spark).collect()) == [3]
+    assert pinned_files  # (sanity: the pre-overwrite version had files)
+
+
+def test_pipeline_time_travel_across_incremental(spark, kb, webtext_rows, tmp_path_factory):
+    """run() then run_incremental(): the pre-batch mentions version stays
+    readable and equals the pre-batch table exactly (time travel), while
+    the latest version contains the appended batch."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+        ]
+    )
+    base = spark.createDataFrame(webtext_rows[:300], schema)
+    inc = spark.createDataFrame(webtext_rows[300:], schema)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_snap_tt"))
+    pipe = Pipeline(spark, kb, ckpt)
+    pipe.run(base)
+
+    pre = pipe.read_stage("mentions").toPandas()
+    pre_version = SnapshotLog(pipe._path("mentions")).latest_version()
+    pipe.run_incremental(inc)
+
+    travelled = pipe.read_stage("mentions", version=pre_version).toPandas()
+    key = ["url", "mention_id"]
+    assert travelled.sort_values(key).reset_index(drop=True).equals(
+        pre.sort_values(key).reset_index(drop=True)
+    )
+    latest = pipe.read_stage("mentions").toPandas()
+    assert len(latest) > len(pre)
+    ops = [h["operation"] for h in pipe.stage_history("mentions")]
+    assert ops[-1] == "append" and "overwrite" in ops
+
+
+def test_wal_rollback_publishes_recovered_version(spark, kb, webtext_rows, tmp_path_factory):
+    """A batch that crashed between its appends and its WAL commit leaves
+    published snapshots pointing at rolled-back files; recovery publishes
+    a 'rollback' version whose read equals the pre-batch state exactly."""
+    import json
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+        ]
+    )
+    base = spark.createDataFrame(webtext_rows[:300], schema)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_snap_wal"))
+    pipe = Pipeline(spark, kb, ckpt)
+    pipe.run(base)
+    pre = pipe.read_stage("mentions").toPandas()
+
+    # forge a crashed batch: an orphan intent whose snapshot is the
+    # current listing, then an append that DID publish its snapshot
+    wal_dir = os.path.join(ckpt, "incremental_wal")
+    os.makedirs(wal_dir, exist_ok=True)
+    snap = {
+        "mentions": sorted(os.listdir(pipe._path("mentions"))),
+        "phrase_vecs": sorted(os.listdir(pipe._path("phrase_vecs"))),
+        "__tail__": [],
+    }
+    with open(os.path.join(wal_dir, "bdead.intent.json"), "w") as fh:
+        json.dump(snap, fh)
+    extra = spark.createDataFrame(
+        [("https://forged.test/x", "9" * 16, "zz zz", 0, "zz zz")],
+        "url string, mention_id string, surface string, pos int, norm string",
+    )
+    pipe._checkpoint_append("mentions", extra)  # publishes an append version
+    dirty = pipe.read_stage("mentions").count()
+    assert dirty == len(pre) + 1
+
+    pipe._recover_wal()
+
+    recovered = pipe.read_stage("mentions").toPandas()
+    key = ["url", "mention_id"]
+    assert recovered.sort_values(key).reset_index(drop=True).equals(
+        pre.sort_values(key).reset_index(drop=True)
+    )
+    assert pipe.stage_history("mentions")[-1]["operation"] == "rollback"
+    # the crashed batch's version is expired history, loud on read
+    hist = pipe.stage_history("mentions")
+    crashed_version = hist[-2]["version"]
+    with pytest.raises(SnapshotExpired):
+        pipe.read_stage("mentions", version=crashed_version)
+
+
+def test_compact_preserves_log_and_expires_priors(spark, kb, webtext_rows, tmp_path_factory):
+    """compact() swaps the table directory; the snapshot log must survive
+    the swap, the compact commit becomes latest, and pre-compact append
+    versions expire loudly."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+        ]
+    )
+    base = spark.createDataFrame(webtext_rows[:300], schema)
+    inc = spark.createDataFrame(webtext_rows[300:], schema)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_snap_compact"))
+    pipe = Pipeline(spark, kb, ckpt)
+    pipe.run(base)
+    pipe.run_incremental(inc)
+
+    before = pipe.read_stage("mentions").toPandas()
+    hist_before = pipe.stage_history("mentions")
+    pipe.compact("mentions")
+
+    hist = pipe.stage_history("mentions")
+    assert len(hist) == len(hist_before) + 1, "log lost across the dir swap"
+    assert hist[-1]["operation"] == "compact"
+    after = pipe.read_stage("mentions").toPandas()
+    key = ["url", "mention_id"]
+    assert after.sort_values(key).reset_index(drop=True).equals(
+        before.sort_values(key).reset_index(drop=True)
+    )
+    with pytest.raises(SnapshotExpired):
+        pipe.read_stage("mentions", version=hist_before[-1]["version"])
