@@ -87,6 +87,26 @@ def _is_data_file(name: str) -> bool:
     )
 
 
+def _json_safe(v):
+    """Footer statistic -> JSON-storable value, or None when the value
+    cannot be stored order-faithfully (undecodable bytes, NaN/inf)."""
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, bool) or isinstance(v, (int, str)):
+        return v
+    if isinstance(v, float):
+        return v if v == v and v not in (float("inf"), float("-inf")) else None
+    try:
+        # date/datetime: ISO-8601 strings order lexicographically ==
+        # chronologically, so range pruning still works on them
+        return v.isoformat()
+    except AttributeError:
+        return None
+
+
 def list_data_files(table_dir: str) -> list[str]:
     """Sorted relative part-file names currently in the table directory."""
     if not os.path.isdir(table_dir):
@@ -164,7 +184,7 @@ class SnapshotLog:
         os.makedirs(self.log_dir, exist_ok=True)
         latest = self.latest_version()
         version = 0 if latest is None else latest + 1
-        schema_json = self._dir_schema_json()
+        schema_json = self._schema_json(operation, files, parent=latest)
         manifest = {
             "version": version,
             "operation": operation,
@@ -172,6 +192,13 @@ class SnapshotLog:
             "schema": schema_json,
             "parent": latest,
             "ts": time.time(),
+            # Iceberg-manifest-style per-file stats (rows, bytes, and
+            # per-column min/max from the parquet footers): the north
+            # rule's per-partition lineage, and the substrate of
+            # metadata-level scan planning (prune()) — stats of files
+            # already recorded in the parent manifest are carried
+            # forward, so an append commit only reads the NEW footers
+            "file_stats": self._file_stats(files, parent=latest),
         }
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -188,21 +215,111 @@ class SnapshotLog:
             os.remove(tmp)
         return version
 
-    def _dir_schema_json(self) -> str | None:
-        """Schema of the live directory via the parquet footer of one part
-        file — read driver-side with pyarrow (no Spark job per commit)."""
-        files = list_data_files(self.table_dir)
-        if not files:
-            return None
+    def _file_stats(self, files: list[str], parent: int | None) -> dict:
+        """{file: {rows, bytes, mins, maxs}} from parquet footers.
+
+        min/max cover the top-level primitive columns whose row groups
+        all carry statistics (parquet writes them by default); values
+        are JSON-safe (bytes decoded, non-finite floats dropped).
+        Driver-side footer reads only — no Spark job; files unchanged
+        since the parent manifest reuse the parent's entry."""
+        inherited = {}
+        if parent is not None:
+            try:
+                inherited = self.snapshot(parent).get("file_stats", {})
+            except FileNotFoundError:
+                inherited = {}
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for name in files:
+            if name in inherited:
+                out[name] = inherited[name]
+                continue
+            path = os.path.join(self.table_dir, name)
+            if not os.path.exists(path):
+                continue
+            try:
+                meta = pq.ParquetFile(path).metadata
+            except Exception:
+                continue  # a torn in-flight file: stats are best-effort
+            mins: dict[str, object] = {}
+            maxs: dict[str, object] = {}
+            if meta.num_row_groups == 0:
+                # an empty part file (a 0-row partition write): rows=0,
+                # no bounds — row_group(0) would raise
+                out[name] = {"rows": 0, "bytes": os.path.getsize(path), "mins": {}, "maxs": {}}
+                continue
+            for ci in range(meta.num_columns):
+                col_path = meta.row_group(0).column(ci).path_in_schema
+                if "." in col_path:
+                    continue  # nested/list columns: no file-level bounds
+                lo = hi = None
+                ok = True
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if ok and lo is not None:
+                    lo, hi = _json_safe(lo), _json_safe(hi)
+                    if lo is not None and hi is not None:
+                        mins[col_path] = lo
+                        maxs[col_path] = hi
+            out[name] = {
+                "rows": meta.num_rows,
+                "bytes": os.path.getsize(path),
+                "mins": mins,
+                "maxs": maxs,
+            }
+        return out
+
+    def _schema_json(self, operation: str, files: list[str], parent: int | None) -> str | None:
+        """The version's schema (StructType json), from parquet footers —
+        driver-side pyarrow reads, no Spark job per commit.
+
+        ``append`` inherits the parent's schema and EXTENDS it with
+        fields the new files introduce (additive evolution: a column
+        added by an append null-fills over pre-evolution files; a
+        same-name field keeps the parent's type).  Every other operation
+        (overwrite / compact / rollback) derives the schema from its own
+        file set alone — an overwrite may legitimately narrow the
+        schema, and a rollback must not keep a phantom column the rolled
+        -back append introduced."""
         import pyarrow.parquet as pq
 
         # arrow schema -> spark StructType via the same mapping spark's
-        # own Arrow interchange uses (no Spark job per commit)
+        # own Arrow interchange uses
         import pyspark.sql.pandas.types as pst
 
-        arrow_schema = pq.read_schema(os.path.join(self.table_dir, files[0]))
-        spark_schema = pst.from_arrow_schema(arrow_schema)
-        return spark_schema.json()
+        fields: list = []
+        names: set[str] = set()
+        to_read = files
+        if operation == "append" and parent is not None:
+            pm = self.snapshot(parent)
+            if pm.get("schema"):
+                base = StructType.fromJson(json.loads(pm["schema"]))
+                fields = list(base.fields)
+                names = {f.name for f in fields}
+                parent_files = set(pm["files"])
+                to_read = [f for f in files if f not in parent_files]
+        for name in to_read:
+            path = os.path.join(self.table_dir, name)
+            if not os.path.exists(path):
+                continue
+            try:
+                sp = pst.from_arrow_schema(pq.read_schema(path))
+            except Exception:
+                continue  # torn in-flight file: schema is best-effort
+            for f in sp.fields:
+                if f.name not in names:
+                    fields.append(f)
+                    names.add(f.name)
+        if not fields:
+            return None
+        return StructType(fields).json()
 
     # --- read --------------------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -213,22 +330,83 @@ class SnapshotLog:
         reads the wrong rows.
         """
         m = self.snapshot(version)
-        missing = [f for f in m["files"] if not os.path.exists(os.path.join(self.table_dir, f))]
+        return self._read_files(spark, m, m["files"])
+
+    def _read_files(self, spark: SparkSession, manifest: dict, files: list[str]) -> DataFrame:
+        missing = [f for f in files if not os.path.exists(os.path.join(self.table_dir, f))]
         if missing:
             raise SnapshotExpired(
-                f"version {m['version']} of {self.table_dir} expired: a later "
-                f"overwrite/compact replaced {len(missing)} of its files "
+                f"version {manifest['version']} of {self.table_dir} expired: a "
+                f"later overwrite/compact replaced {len(missing)} of its files "
                 f"(e.g. {missing[0]}); history remains readable via history()"
             )
-        if not m["files"]:
-            # an empty committed version: zero-row frame with the schema
-            schema = StructType.fromJson(json.loads(m["schema"])) if m["schema"] else StructType([])
-            return spark.createDataFrame([], schema)
-        paths = [os.path.join(self.table_dir, f) for f in m["files"]]
+        schema = (
+            StructType.fromJson(json.loads(manifest["schema"])) if manifest["schema"] else None
+        )
+        if not files:
+            # zero selected files: empty frame with the version's schema
+            return spark.createDataFrame([], schema if schema is not None else StructType([]))
+        paths = [os.path.join(self.table_dir, f) for f in files]
         reader = spark.read
-        if m["schema"]:
-            reader = reader.schema(StructType.fromJson(json.loads(m["schema"])))
+        if schema is not None:
+            reader = reader.schema(schema)
         return reader.parquet(*paths)
+
+    def prune(
+        self,
+        spark: SparkSession,
+        column: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Metadata-level scan planning (Iceberg-style file skipping).
+
+        Semantically identical to ``read(...).filter(lo <= column <= hi)``
+        but files whose footer [min, max] for ``column`` provably cannot
+        overlap the range are never opened — at 100 TB this is the
+        difference between planning a scan from manifests and listing +
+        footer-reading every file on the executors.  Files without
+        recorded bounds for the column are conservatively scanned; the
+        residual predicate is always applied, so pruning is an
+        optimization, never a semantics change.  Check the effect with
+        ``df.inputFiles()``."""
+        from pyspark.sql import functions as F
+
+        m = self.snapshot(version)
+        stats = m.get("file_stats", {})
+        selected = []
+        for f in m["files"]:
+            st = stats.get(f)
+            if st is None or column not in st.get("mins", {}):
+                selected.append(f)  # no provable bounds: must scan
+                continue
+            fmin, fmax = st["mins"][column], st["maxs"][column]
+            if lo is not None and fmax < lo:
+                continue
+            if hi is not None and fmin > hi:
+                continue
+            selected.append(f)
+        df = self._read_files(spark, m, selected)
+        if lo is not None:
+            df = df.filter(F.col(column) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(column) <= F.lit(hi))
+        return df
+
+    def total_rows(self, version: int | None = None) -> int | None:
+        """Metadata-only row count of a version (Iceberg's
+        ``total-records`` summary) — no file is opened.  None when any
+        member file has no recorded stats (pre-stats manifests)."""
+        m = self.snapshot(version)
+        stats = m.get("file_stats", {})
+        total = 0
+        for f in m["files"]:
+            st = stats.get(f)
+            if st is None:
+                return None
+            total += st["rows"]
+        return total
 
     # --- maintenance -------------------------------------------------------
     def vacuum(self, retain_last: int = 1) -> list[str]:

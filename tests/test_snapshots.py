@@ -282,3 +282,52 @@ def test_compact_preserves_log_and_expires_priors(spark, kb, webtext_rows, tmp_p
     )
     with pytest.raises(SnapshotExpired):
         pipe.read_stage("mentions", version=hist_before[-1]["version"])
+
+
+def test_file_stats_and_metadata_row_count(spark, tmp_path):
+    """Manifests carry Iceberg-style per-file stats (rows/bytes/bounds);
+    total_rows() answers COUNT(*) from metadata alone, and an append
+    commit inherits the parent's stats for unchanged files (no footer
+    re-read of the whole table per append)."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a"), (2, "b")])
+    log = SnapshotLog(d)
+    log.commit("overwrite")
+    m0 = log.snapshot(0)
+    assert set(m0["file_stats"]) == set(m0["files"])
+    st = m0["file_stats"][m0["files"][0]]
+    assert st["rows"] == 2 and st["bytes"] > 0
+    assert st["mins"]["id"] == 1 and st["maxs"]["id"] == 2
+    assert st["mins"]["val"] == "a" and st["maxs"]["val"] == "b"
+    assert log.total_rows(0) == 2
+
+    _write(spark, d, [(3, "c")], mode="append")
+    log.commit("append")
+    m1 = log.snapshot(1)
+    for f in m0["files"]:
+        assert m1["file_stats"][f] == m0["file_stats"][f], "parent stats not inherited"
+    assert log.total_rows() == 3
+    assert log.total_rows() == log.read(spark).count()
+
+
+def test_prune_skips_files_and_matches_full_filter(spark, tmp_path):
+    """File-skipping read: ranged files outside [lo, hi] are never
+    opened (fewer inputFiles) and the result equals read().filter()."""
+    d = str(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr("id", "concat('v', id) as val")
+    df.repartitionByRange(4, "id").write.mode("overwrite").parquet(d)
+    log = SnapshotLog(d)
+    log.commit("overwrite")
+    n_files = len(log.snapshot()["files"])
+    assert n_files == 4
+
+    pruned = log.prune(spark, "id", lo=100, hi=150)
+    assert len(pruned.inputFiles()) < n_files, "no file was skipped"
+    expect = log.read(spark).filter("id between 100 and 150").toPandas()
+    got = pruned.toPandas()
+    key = ["id"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        expect.sort_values(key).reset_index(drop=True)
+    )
+    # an unbounded prune degenerates to the full read
+    assert log.prune(spark, "id").count() == 1000
