@@ -1011,6 +1011,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_windowed_counts"] = stream_windowed_counts
 
+    def snapshot_prune(spark, sf):
+        """The snapshot log's metadata scan planning as a contract row
+        (round-5 table-format layer, snapshots.py): commit the even
+        doc_id half of ``documents`` as v0, parquet-APPEND the odd half
+        (v1), then ``prune(doc_id, 100, 349)`` over the latest version —
+        a read planned from the manifests' per-file min/max bounds that
+        never opens files outside the range.  Pruning is an optimization
+        by construction (residual predicate always applied), so the
+        result is exactly ``SELECT … WHERE doc_id BETWEEN 100 AND 349``
+        — the DuckDB twin — and the row raises loudly if the plan did
+        NOT skip at least one file (the property being evidenced)."""
+        import shutil
+        import tempfile
+
+        from nilinker_spark.snapshots import SnapshotLog
+
+        docs = _docs(spark, sf).select("doc_id", "lang", "n_chars")
+        tmp = tempfile.mkdtemp(prefix="snap_prune_")
+        try:
+            d = os.path.join(tmp, "docs")
+            log = SnapshotLog(d)
+            # ranged part files (the sorted-write layout a real ingest
+            # produces) make the footer bounds selective
+            docs.filter(F.col("doc_id") % 2 == 0).repartitionByRange(
+                4, "doc_id"
+            ).write.mode("overwrite").parquet(d)
+            log.commit("overwrite")
+            docs.filter(F.col("doc_id") % 2 == 1).repartitionByRange(
+                4, "doc_id"
+            ).write.mode("append").parquet(d)
+            log.commit("append")
+            pruned = log.prune(spark, "doc_id", lo=100, hi=349)
+            n_total = len(log.snapshot()["files"])
+            n_scanned = len(pruned.inputFiles())
+            if n_scanned >= n_total:
+                raise RuntimeError(
+                    f"snapshot_prune: no file skipped ({n_scanned}/{n_total})"
+                )
+            # the table dir is temporary: materialize before cleanup
+            return _materialize(spark, pruned)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    q["snapshot_prune"] = snapshot_prune
+
     # Driver-coverage rotation (VERDICT r4 #2): the driver checks the
     # FIRST ~50 dict entries per round (CORRECTNESS_r04 carried exactly
     # positions 0-49), so rows the driver has not yet evidenced LEAD and
@@ -1026,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts",
         "er_pairwise_f1",
         "ann_topk_ivf_trained",
+        "snapshot_prune",
     ]
     trail = [
         "mention_dedup",
@@ -1455,6 +1501,12 @@ def oracle_sql() -> dict[str, str]:
         "from base) "
         "select doc_id, array_to_string(kept, ' ') as clean_text, "
         "cast(len(toks) - len(kept) as int) as n_removed from k"
+    )
+    # the pruned snapshot read is an optimization, never a semantics
+    # change: the twin is the plain ranged SELECT the pruned plan answers
+    o["snapshot_prune"] = (
+        "select doc_id, lang, n_chars from documents "
+        "where doc_id between 100 and 349"
     )
     o["text_quality"] = (
         "with base as (select doc_id, text, string_split(text, ' ') as toks from documents), "
