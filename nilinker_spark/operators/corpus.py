@@ -318,10 +318,10 @@ def embedding_neardup_pairs(
     Baseline path (quadratic): kept for correctness; the scale path is
     :func:`ann_topk_lsh` / LSH bucketing.  Cosine is computed JVM-side in
     float64; per-row norms are computed ONCE per side before the
-    theta-join (O(N·d) instead of O(N²·d)), and ``dim`` unrolls the dot
-    into a codegen expression — both bit-identical to the naive per-pair
-    form (same folds over the same row values, same multiply/divide
-    order).
+    theta-join (O(N·d) instead of O(N²·d)); ``dim`` at or below
+    UNROLL_MAX_DIM additionally unrolls the dot into codegen — both
+    bit-identical to the naive per-pair form (same folds over the same
+    row values, same multiply/divide order).
     """
     a = emb.select(
         F.col("vec_id").alias("id_a"),
@@ -343,16 +343,33 @@ def embedding_neardup_pairs(
     )
 
 
+# Measured unroll crossover (round 5, sf0.1 embeddings, local[32]): at
+# dim=16 the unrolled dot is the scoring stage's biggest win (see
+# scoring.dot_f64 — the HOF fold was 22.6 s of a 50 s wall at 9.5M
+# pairs), but at dim=64 the 128-node expression chain costs MORE than it
+# saves: ann_topk 2.4 s (HOF) vs 5.5 s (unrolled) and neardup 29.7 s vs
+# 49.2 s — the giant generated method blows the JIT/codegen budget and
+# every plan pass walks the huge tree (a balanced-tree shape measured
+# WORSE still: 17-42 s).  So wide vectors keep the HOF fold; ``dim``
+# above the crossover is still used for hyperplane construction and
+# length guards, just not for unrolling.
+UNROLL_MAX_DIM = 16
+
+
+def _unroll_dim(dim: int | None) -> int | None:
+    return dim if dim is not None and dim <= UNROLL_MAX_DIM else None
+
+
 def _dot(col_a: str, col_b: str, dim: int | None = None) -> F.Column:
-    """Float64 sequential-fold dot product; with ``dim`` the fold is
-    UNROLLED into a flat codegen expression (shared with the pair-scoring
-    stage — see scoring.dot_f64 and the round-5 profile: the zip_with/
-    aggregate higher-order form is interpreted per element AND breaks
-    whole-stage codegen for its whole projection).  Bit-identical either
-    way: left-associated adds, exact float32→float64 casts."""
+    """Float64 sequential-fold dot product; with ``dim`` at or below
+    UNROLL_MAX_DIM the fold is UNROLLED into a flat codegen expression
+    (shared with the pair-scoring stage — scoring.dot_f64); above the
+    crossover the zip_with/aggregate fold stays (measured faster, see
+    UNROLL_MAX_DIM).  Bit-identical either way: left-associated adds,
+    exact float32→float64 casts."""
     from nilinker_spark.operators.scoring import dot_f64
 
-    return dot_f64(col_a, col_b, dim=dim)
+    return dot_f64(col_a, col_b, dim=_unroll_dim(dim))
 
 
 def _norm(col: str, dim: int | None = None) -> F.Column:
@@ -370,9 +387,10 @@ def ann_topk_bruteforce(
 
     queries(query_id, q_embedding) × emb(vec_id, embedding), broadcast the
     queries (small side), window top-k with deterministic tie-break.
-    Norms are computed once per vector BEFORE the N×Q join (not once per
-    pair), and ``dim`` unrolls the dot into codegen — identical bits
-    (same folds over the same rows, same multiply/divide order).
+    Norms are computed once per vector BEFORE the N×Q join (not once
+    per pair); ``dim`` at or below UNROLL_MAX_DIM additionally unrolls
+    the dot into codegen — identical bits (same folds over the same
+    rows, same multiply/divide order).
     """
     emb_n = emb.withColumn("_ne", _norm("embedding", dim=dim))
     q_n = queries.withColumn("_nq", _norm("q_embedding", dim=dim))
@@ -422,14 +440,15 @@ def lsh_signature(
     Requires uniform-dimension vectors (standard for an embedding table);
     the dot is a sequential float64 fold — the same rounding order the
     DuckDB oracle uses, so signatures agree bit-for-bit cross-engine.
-    With ``dim`` (must equal each plane's length) the fold unrolls into a
-    flat codegen expression — identical adds, no interpreted
-    higher-order-function stage."""
+    With ``dim`` (must equal each plane's length) the plane lengths are
+    validated eagerly, and at or below UNROLL_MAX_DIM the fold unrolls
+    into a flat codegen expression — identical adds; wide vectors keep
+    the HOF fold (measured faster, see UNROLL_MAX_DIM)."""
     bits = []
     for row in planes:
-        if dim is not None:
-            if len(row) != dim:
-                raise ValueError(f"lsh_signature: plane length {len(row)} != dim {dim}")
+        if dim is not None and len(row) != dim:
+            raise ValueError(f"lsh_signature: plane length {len(row)} != dim {dim}")
+        if _unroll_dim(dim) is not None:
             dot = F.lit(0.0)
             for d, wv in enumerate(row):
                 dot = dot + F.col(vec_col)[d].cast("double") * F.lit(wv)
