@@ -357,6 +357,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = lambda spark, sf: C.lang_id(_docs(spark, sf))
     q["fingerprint"] = lambda spark, sf: C.fingerprint(_docs(spark, sf))
 
+    # --- corpus ops: training-set preparation (new r5) ---------------------------
+    def decontaminate(spark, sf):
+        # benchmark/eval split is deterministic (doc_id % 97): training
+        # docs sharing any word trigram with the benchmark are dropped
+        docs = _docs(spark, sf)
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        train = docs.filter(F.col("doc_id") % 97 != 0)
+        return C.decontaminate(train, bench, k=3)
+
+    q["decontaminate"] = decontaminate
+
+    q["importance_resample"] = lambda spark, sf: C.importance_resample(_docs(spark, sf))
+
+    # bucket_width=64 so the sf0.01 corpus (500 docs) spans ~8 prefix
+    # buckets — the distributed prefix sum's cross-bucket offsets are
+    # actually exercised, not degenerate
+    q["pack_sequences"] = lambda spark, sf: C.pack_sequences(
+        _docs(spark, sf), budget=2048, bucket_width=64
+    )
+
     # --- events: windowed agg + sessionization ----------------------------------
     def windowed_agg(spark, sf):
         ev = load_table(spark, sf, "events")
@@ -1072,6 +1092,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pairwise_f1",
         "ann_topk_ivf_trained",
         "snapshot_prune",
+        "decontaminate",
+        "importance_resample",
+        "pack_sequences",
     ]
     trail = [
         "mention_dedup",
@@ -1082,6 +1105,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_candidate_join",
         "refine_test_anti_join",
         "pair_generation",
+        "fuzzy_topk",
+        "window_topk",
+        "split_assign",
+        "scalar_normalize",
     ]
     lead = [n for n in lead if n in q]
     mid = [n for n in q if n not in lead and n not in trail]
@@ -1562,6 +1589,53 @@ def oracle_sql() -> dict[str, str]:
         + _H60.format(x="concat(token, '|', pos)")
         + " as ph from tk) "
         "select doc_id, bit_xor(ph) as fingerprint from ph group by 1"
+    )
+    # benchmark decontamination twin: same trigram derivation as the sh
+    # CTE, benchmark = doc_id % 97 == 0, survivors = training docs with
+    # no shared trigram hash
+    o["decontaminate"] = (
+        "with g as (select doc_id, "
+        + _H60.format(x="array_to_string(toks[i:i+2], ' ')")
+        + " as sh from (select doc_id, string_split(text,' ') as toks from documents), "
+        "unnest(range(1, greatest(len(toks) - 2, 0) + 1)) as r(i) "
+        "where len(toks[i:i+2]) = 3), "
+        "bench as (select distinct sh from g where doc_id % 97 = 0), "
+        "cont as (select distinct g.doc_id from g join bench using (sh) "
+        "where g.doc_id % 97 <> 0) "
+        "select d.doc_id, d.lang, d.n_chars from documents d "
+        "left join cont on d.doc_id = cont.doc_id "
+        "where d.doc_id % 97 <> 0 and cont.doc_id is null"
+    )
+    # CCNet-style resampling twin: quality CTE from the text_quality
+    # twin; all-integer basis-point draw so no float boundary can differ
+    o["importance_resample"] = (
+        "with base as (select doc_id, text, string_split(text, ' ') as toks from documents), "
+        "m as (select doc_id, text, len(toks) as n, "
+        "len(list_filter(toks, t -> list_contains(['the','a','an','of','and','to','in','is','was','for','on','that','with','as'], t))) as n_stop, "
+        "length(regexp_replace(text, '[^a-z]', '', 'g')) as alpha from base), "
+        "q as (select doc_id, round(least(n / 100.0, 1.0) * 0.5 + (1 - n_stop / n) * 0.2 + (alpha / length(text)) * 0.3, 4) as quality from m), "
+        "r as (select doc_id, "
+        "case when quality >= 0.78 then 'head' when quality >= 0.63 then 'middle' else 'tail' end as bucket, "
+        "case when quality >= 0.78 then 10000 when quality >= 0.63 then 5000 else 1000 end as rate_bp, "
+        + _H60.format(x="'resample-v1#' || cast(doc_id as varchar)")
+        + " % 10000 as draw_bp from q) "
+        "select doc_id, bucket, draw_bp from r where draw_bp < rate_bp"
+    )
+    # distributed-prefix-sum packing twin: DuckDB computes the same
+    # bucketed exclusive cumsum in one pass (sum casts: DuckDB sum(int)
+    # is HUGEINT — pin to bigint like the Spark longs)
+    o["pack_sequences"] = (
+        "with t as (select doc_id, len(string_split(text, ' ')) as n_tokens, "
+        "doc_id // 64 as bucket from documents), "
+        "b as (select bucket, cast(sum(n_tokens) as bigint) as bucket_tokens from t group by 1), "
+        "ofs as (select bucket, cast(coalesce(sum(bucket_tokens) over "
+        "(order by bucket rows between unbounded preceding and 1 preceding), 0) as bigint) as bucket_offset from b), "
+        "w as (select t.doc_id, t.n_tokens, ofs.bucket_offset + "
+        "cast(coalesce(sum(t.n_tokens) over (partition by t.bucket order by t.doc_id "
+        "rows between unbounded preceding and 1 preceding), 0) as bigint) as tokens_before "
+        "from t join ofs using (bucket)) "
+        "select doc_id, n_tokens, tokens_before // 2048 as shard_id, "
+        "tokens_before % 2048 as shard_offset from w"
     )
     o["windowed_agg"] = (
         "select cast(date_trunc('hour', ts) as varchar) as hour, event_type, "

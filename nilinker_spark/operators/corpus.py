@@ -880,3 +880,149 @@ def embedding_neardup_clusters(
         )
         .withColumn("is_canonical", F.col("vec_id") == F.col("cluster_id"))
     )
+
+
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame, k: int = 3
+) -> DataFrame:
+    """Benchmark decontamination: drop training documents that share any
+    word ``k``-gram with an eval/benchmark set (the standard
+    pre-training hygiene pass — e.g. GPT-3 appendix C / PaLM's 13-gram
+    rule, public; graft extra, no reference counterpart).
+
+    Returns the SURVIVING training docs as (doc_id, lang, n_chars).
+
+    Scale shape: the benchmark n-gram set is eval-sized (10^5-10^7 rows
+    at 100 TB corpus scale), so it BROADCASTS into a semi-join against
+    the exploded corpus n-grams — the corpus never shuffles.  The
+    corpus-side explode deliberately skips :func:`shingles`'s
+    ``distinct()`` (a corpus-wide shuffle): duplicate (doc_id, gram)
+    rows don't change a semi-join, so the only wide operation left is
+    the final doc_id distinct, which is bounded by the contaminated-set
+    size, not the corpus.
+    """
+    toks = tokens_col("text")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    gram = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        return (
+            df.select("doc_id", F.explode(gram).alias("gram"))
+            .filter(F.size(F.split("gram", " ")) == k)
+            .select("doc_id", h60(F.col("gram")).alias("sh"))
+        )
+
+    bench_grams = grams_of(benchmark).select("sh").distinct()
+    contaminated = (
+        grams_of(docs)
+        .join(F.broadcast(bench_grams), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+# importance_resample bucket thresholds / keep-rates (basis points).
+# Thresholds sit at the sf0.01 quality tertiles (measured: q33=0.63,
+# q66=0.78) so each bucket is populated at test scale.
+RESAMPLE_BUCKETS: tuple[tuple[str, float, int], ...] = (
+    ("head", 0.78, 10_000),
+    ("middle", 0.63, 5_000),
+    ("tail", -1.0, 1_000),
+)
+
+
+def importance_resample(
+    docs: DataFrame,
+    buckets: tuple[tuple[str, float, int], ...] = RESAMPLE_BUCKETS,
+    salt: str = "resample-v1",
+) -> DataFrame:
+    """CCNet-style importance resampling (Wenzek et al. 2020, public;
+    graft extra): bucket documents by quality score, keep each doc with a
+    per-bucket rate — deterministically, via a salted content-free hash
+    draw, so the sample is reproducible across runs, engines and
+    partitionings (no rand(); the repo determinism rule).
+
+    (doc_id, bucket, draw_bp) for the KEPT docs; ``draw_bp`` is the
+    integer basis-point draw h60(salt#doc_id) % 10000, kept iff
+    draw_bp < rate_bp for the doc's bucket.  All-integer compare — no
+    float boundary risk in the cross-engine twin.
+
+    Scale shape: quality is a pure column expression per doc
+    (:func:`text_quality`), the bucket/draw logic is closed-form — the
+    whole operator is ONE narrow projection + filter over the corpus,
+    no shuffle at all.
+    """
+    q = text_quality(docs).select("doc_id", "quality")
+    bucket = None
+    rate = None
+    for name, lo, bp in buckets:
+        cond = F.col("quality") >= F.lit(lo)
+        bucket = F.when(cond, F.lit(name)) if bucket is None else bucket.when(cond, F.lit(name))
+        rate = F.when(cond, F.lit(bp)) if rate is None else rate.when(cond, F.lit(bp))
+    draw = h60(F.concat_ws("#", F.lit(salt), F.col("doc_id").cast("string"))) % 10_000
+    return (
+        q.select(
+            "doc_id",
+            bucket.alias("bucket"),
+            rate.alias("rate_bp"),
+            draw.alias("draw_bp"),
+        )
+        .filter(F.col("draw_bp") < F.col("rate_bp"))
+        .select("doc_id", "bucket", "draw_bp")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int = 2048, bucket_width: int = 100_000
+) -> DataFrame:
+    """Sequence packing for training shards: lay documents end-to-end in
+    doc_id order and assign each to the fixed-token-budget shard where
+    its FIRST token lands (greedy contiguous packing, the standard
+    pre-tokenization sharding step; graft extra).
+
+    (doc_id, n_tokens, shard_id, shard_offset) with
+    shard_id = tokens_before // budget and shard_offset = tokens_before
+    % budget — all-integer, deterministic.
+
+    Scale shape — a distributed prefix sum, NOT a global window: the
+    naive ``Window.orderBy(doc_id)`` cumulative sum collapses the whole
+    corpus into ONE task.  Instead: (1) per-range-bucket partial sums
+    (bucket = doc_id // bucket_width, a corpus-sized groupBy on a dense
+    key), (2) a bucket-level exclusive prefix over the TINY bucket frame
+    (corpus/bucket_width rows — 10^5 buckets at 10^10 docs; that window
+    is single-partition but bounded by design), (3) broadcast the
+    offsets back and run the within-bucket window, which shuffles the
+    corpus ONCE on the same bucket key as step 1.
+    """
+    t = docs.select(
+        "doc_id",
+        F.size(tokens_col("text")).alias("n_tokens"),
+        F.expr(f"doc_id div {bucket_width}").alias("bucket"),
+    )
+    per_bucket = t.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0)).alias("bucket_offset"),
+    )
+    ww = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    before = F.col("bucket_offset") + F.coalesce(F.sum("n_tokens").over(ww), F.lit(0))
+    return (
+        t.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            before.alias("tokens_before"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"tokens_before div {budget}").alias("shard_id"),
+            (F.col("tokens_before") % budget).alias("shard_offset"),
+        )
+    )
