@@ -8,4 +8,5 @@ from nilinker_spark.plans.inspect import (  # noqa: F401
     has_whole_stage_codegen,
     pushed_filters,
     read_schema_columns,
+    shuffle_exchange_count,
 )

@@ -51,6 +51,15 @@ def has_whole_stage_codegen(df: DataFrame) -> bool:
     return "Found 0 WholeStageCodegen" not in explain_str(df, "codegen")
 
 
+def shuffle_exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the physical plan
+    (BroadcastExchange excluded — broadcasts move a dim, not the data).
+    Count with AQE off for a deterministic pre-runtime shape: under AQE
+    the string carries AQEShuffleRead wrappers and staged re-plans."""
+    text = explain_str(df, "simple")
+    return len(re.findall(r"(?<!Broadcast)Exchange (?:hash|range|Single)", text))
+
+
 _PYTHON_MARKERS = (
     "ArrowEvalPython",
     "BatchEvalPython",

@@ -198,3 +198,53 @@ def test_fused_edges_jw_above_joins(spark):
     # and no join condition may reference the extracted UDF column
     conds = [ln for ln in txt.splitlines() if "Join condition" in ln]
     assert conds and not any("pythonUDF" in c for c in conds), conds
+
+
+def test_trainprep_plan_shapes(spark, tmp_path_factory):
+    """The r5 training-prep operators keep their designed plan shapes:
+    decontaminate never shuffles the corpus (both joins broadcast),
+    importance_resample is a zero-exchange codegen'd scan, and
+    pack_sequences shuffles the corpus exactly once (its other two
+    exchanges move per-bucket aggregates, not corpus rows).
+
+    Docs go through parquet first: the anti-join's broadcast choice is
+    size-statistics-driven (deliberately unhinted — the contaminated-id
+    dim is small in practice but not by construction), and an in-memory
+    relation has no stats to drive it."""
+    from nilinker_spark.operators import corpus as C
+    from nilinker_spark.plans import explain_str, shuffle_exchange_count
+
+    p = str(tmp_path_factory.mktemp("trainprep")) + "/docs"
+    spark.createDataFrame(
+        [(i, "a b c d e f", "en", "s", 11) for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(p)
+    docs = spark.read.parquet(p)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        deco = C.decontaminate(docs.filter(F.col("doc_id") > 0), docs.limit(1))
+        txt = explain_str(deco, "simple")
+        assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
+        assert txt.count("BroadcastHashJoin") == 2  # semi (grams) + anti (ids)
+        # the only shuffles build the two broadcast dims (bench grams,
+        # contaminated ids) — each bounded by the benchmark/contamination
+        # size; the corpus side reaches both joins shuffle-free
+        assert shuffle_exchange_count(deco) == 2
+        assert not has_python_stage(deco)
+
+        rs = C.importance_resample(docs)
+        assert shuffle_exchange_count(rs) == 0
+        assert has_whole_stage_codegen(rs)
+        assert not has_python_stage(rs)
+
+        ps = C.pack_sequences(docs, budget=8, bucket_width=2)
+        txt = explain_str(ps, "simple")
+        # corpus window exchange + per-bucket partial-agg exchange + the
+        # SinglePartition exchange feeding the TINY bucket-offset window
+        # (bucket-count rows by construction, never corpus rows)
+        assert shuffle_exchange_count(ps) == 3
+        assert txt.count("Exchange SinglePartition") == 1
+        assert "BroadcastHashJoin" in txt  # offsets join the corpus as a dim
+        assert not has_python_stage(ps)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
