@@ -700,6 +700,11 @@ def main() -> None:
         "fingerprint",
         "windowed_agg",
         "sessionization",
+        # r5 training-prep rows (battery totals are not comparable to r4
+        # without subtracting these three — BASELINE.md round-5 note)
+        "decontaminate",
+        "importance_resample",
+        "pack_sequences",
     ]
     timings: dict[str, float] = {}
     for name in headline:
