@@ -61,6 +61,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -69,6 +70,7 @@ from pyspark.sql.types import StructType
 
 _SNAP_SUFFIX = "__snaplog"
 _V_WIDTH = 12  # v000000000001.json — lexicographic == numeric order
+_TAG_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]*")
 
 
 class SnapshotConflict(RuntimeError):
@@ -139,7 +141,11 @@ class SnapshotLog:
         vs = self.versions()
         return vs[-1] if vs else None
 
-    def snapshot(self, version: int | None = None) -> dict:
+    def snapshot(self, version: int | None = None, tag: str | None = None) -> dict:
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version or tag, not both")
+            version = self.resolve_tag(tag)
         if version is None:
             version = self.latest_version()
             if version is None:
@@ -147,6 +153,61 @@ class SnapshotLog:
         with open(self._version_path(version)) as fh:
             manifest = json.load(fh)
         return manifest
+
+    # --- tags (named immutable refs) ---------------------------------------
+    def _tag_path(self, name: str) -> str:
+        if not _TAG_RE.fullmatch(name):
+            raise ValueError(f"tag name must match {_TAG_RE.pattern!r}: {name!r}")
+        return os.path.join(self.log_dir, "tags", f"{name}.json")
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``version`` (default: latest) under an immutable name.
+
+        Published with the same ``os.link`` CAS as version manifests, so
+        two writers racing to create the same tag get exactly one winner
+        and a loud ValueError for the loser — a tag never silently moves
+        (Iceberg tag semantics; re-pointing means delete + re-create,
+        which this API deliberately does not offer).  Tagged versions'
+        files are retained by :meth:`vacuum` regardless of
+        ``retain_last``."""
+        if version is None:
+            version = self.latest_version()
+        if version is None or version not in self.versions():
+            raise FileNotFoundError(f"no version {version} to tag at {self.log_dir}")
+        path = self._tag_path(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = os.path.join(self.log_dir, f".tmp-tag-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"name": name, "version": version, "ts": time.time()}, fh)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise ValueError(
+                f"tag {name!r} already exists at version {self.resolve_tag(name)}; "
+                "tags are immutable"
+            ) from None
+        finally:
+            os.remove(tmp)
+        return version
+
+    def tags(self) -> dict[str, int]:
+        tag_dir = os.path.join(self.log_dir, "tags")
+        if not os.path.isdir(tag_dir):
+            return {}
+        out: dict[str, int] = {}
+        for n in sorted(os.listdir(tag_dir)):
+            if n.endswith(".json") and not n.startswith("."):
+                with open(os.path.join(tag_dir, n)) as fh:
+                    m = json.load(fh)
+                out[m["name"]] = m["version"]
+        return out
+
+    def resolve_tag(self, name: str) -> int:
+        path = self._tag_path(name)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no tag {name!r} at {self.log_dir}")
+        with open(path) as fh:
+            return json.load(fh)["version"]
 
     def history(self) -> list[dict]:
         """All manifests, oldest first (version/operation/file count/ts)."""
@@ -164,7 +225,12 @@ class SnapshotLog:
         return out
 
     # --- commit ------------------------------------------------------------
-    def commit(self, operation: str, files: list[str] | None = None) -> int:
+    def commit(
+        self,
+        operation: str,
+        files: list[str] | None = None,
+        expect_latest: int | None | str = "__any__",
+    ) -> int:
         """Publish the given (or current) file set as the next version.
 
         Returns the committed version.  Raises :class:`SnapshotConflict`
@@ -178,11 +244,28 @@ class SnapshotLog:
         caller contract of run/run_incremental); an external writer
         doing blind concurrent appends should pass its base listing +
         its own files explicitly.
+
+        ``expect_latest`` closes the lost-update window for file lists
+        DERIVED from a base version: between reading the base and
+        calling commit, a concurrent writer may have published — the
+        version counter would still advance correctly, but this commit's
+        manifest would silently omit the winner's files.  Pass the
+        version the file list was derived from (None for "derived from
+        an empty log"): if the log's latest no longer matches, the
+        commit raises :class:`SnapshotConflict` instead of publishing a
+        regressive manifest.  The remaining check-to-link window is
+        covered by the ``os.link`` CAS itself, because the interloper
+        must take this commit's version number to get ahead of it.
         """
         if files is None:
             files = list_data_files(self.table_dir)
         os.makedirs(self.log_dir, exist_ok=True)
         latest = self.latest_version()
+        if expect_latest != "__any__" and latest != expect_latest:
+            raise SnapshotConflict(
+                f"{self.table_dir}: expected latest version {expect_latest} "
+                f"but found {latest}; re-derive the file list and retry"
+            )
         version = 0 if latest is None else latest + 1
         schema_json = self._schema_json(operation, files, parent=latest)
         manifest = {
@@ -214,6 +297,32 @@ class SnapshotLog:
         finally:
             os.remove(tmp)
         return version
+
+    def commit_append(self, new_files: list[str], max_retries: int = 5) -> int:
+        """Append-commit ``new_files`` with writer-level conflict
+        RESOLUTION, not just detection: append commits commute, so on
+        :class:`SnapshotConflict` the loser re-reads the winner's file
+        list and retries with the union (the Iceberg fast-append retry
+        loop).  Non-commuting operations (overwrite/compact) must NOT
+        auto-retry — their winner invalidated the loser's input — which
+        is why this helper exists only for append.
+
+        The caller has already placed ``new_files`` in the table
+        directory; every retry reuses them, so conflict resolution costs
+        one manifest write, never a data rewrite."""
+        last_err: SnapshotConflict | None = None
+        for _ in range(max_retries + 1):
+            base_version = self.latest_version()
+            base = self.snapshot(base_version)["files"] if base_version is not None else []
+            merged = sorted(set(base) | set(new_files))
+            try:
+                return self.commit("append", merged, expect_latest=base_version)
+            except SnapshotConflict as e:
+                last_err = e
+        raise SnapshotConflict(
+            f"{self.table_dir}: append lost the commit race {max_retries + 1} "
+            f"times ({last_err}); raise max_retries or reduce writer fan-in"
+        )
 
     def _file_stats(self, files: list[str], parent: int | None) -> dict:
         """{file: {rows, bytes, mins, maxs}} from parquet footers.
@@ -322,14 +431,17 @@ class SnapshotLog:
         return StructType(fields).json()
 
     # --- read --------------------------------------------------------------
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """DataFrame of exactly the version's files, with its schema.
+    def read(
+        self, spark: SparkSession, version: int | None = None, tag: str | None = None
+    ) -> DataFrame:
+        """DataFrame of exactly the version's (or tag's) files, with its
+        schema.
 
         Missing files (replaced by a later overwrite/compact) raise
         :class:`SnapshotExpired` — an expired version never silently
         reads the wrong rows.
         """
-        m = self.snapshot(version)
+        m = self.snapshot(version, tag=tag)
         return self._read_files(spark, m, m["files"])
 
     def _read_files(self, spark: SparkSession, manifest: dict, files: list[str]) -> DataFrame:
@@ -413,7 +525,9 @@ class SnapshotLog:
         """Delete data files referenced ONLY by versions older than the
         last ``retain_last`` — the storage-reclaim half of expiry.
 
-        Never touches files the retained versions reference, and never
+        Never touches files the retained versions reference — and a
+        TAGGED version is always retained regardless of ``retain_last``
+        (tags pin snapshots from expiry; Iceberg semantics) — and never
         touches the manifests (history stays auditable).  Returns the
         deleted file names.
         """
@@ -422,7 +536,7 @@ class SnapshotLog:
         vs = self.versions()
         if not vs:
             return []
-        retained = set(vs[-retain_last:])
+        retained = set(vs[-retain_last:]) | set(self.tags().values())
         keep: set[str] = set()
         for v in retained:
             keep.update(self.snapshot(v)["files"])

@@ -331,3 +331,108 @@ def test_prune_skips_files_and_matches_full_filter(spark, tmp_path):
     )
     # an unbounded prune degenerates to the full read
     assert log.prune(spark, "id").count() == 1000
+
+
+def test_commit_append_resolves_conflicts(spark, tmp_path):
+    """Writer-level conflict RESOLUTION for commuting commits: a stale
+    derived file list must conflict loudly (the lost-update guard), and
+    commit_append retries with the union so no writer's files are lost."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    v0 = log.commit("overwrite")
+    files_v0 = log.snapshot()["files"]
+
+    # an interloper appends and commits while our derived list is stale
+    _write(spark, d, [(2, "b")], mode="append")
+    all_files = list_data_files(d)
+    assert log.commit("append", all_files) == 1
+
+    # the stale-base commit targets v2 with a list MISSING the winner's
+    # file — without expect_latest it would publish silently; with it,
+    # the regression is caught as a conflict
+    with pytest.raises(SnapshotConflict):
+        log.commit("append", files_v0, expect_latest=v0)
+
+    # commit_append re-reads the winner and lands the union
+    _write(spark, d, [(3, "c")], mode="append")
+    mine = [f for f in list_data_files(d) if f not in all_files]
+    v2 = log.commit_append(mine)
+    final = set(log.snapshot(v2)["files"])
+    assert set(all_files) <= final and set(mine) <= final
+    assert sorted(r.id for r in log.read(spark).collect()) == [1, 2, 3]
+
+
+def test_commit_append_threaded_race(spark, tmp_path):
+    """Two live writers race commit_append from the same base: both land
+    (sequential versions), and the final manifest carries the union."""
+    import threading
+
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    log.commit("overwrite")
+    base = set(list_data_files(d))
+    _write(spark, d, [(2, "b")], mode="append")
+    batch1 = [f for f in list_data_files(d) if f not in base]
+    _write(spark, d, [(3, "c")], mode="append")
+    batch2 = [f for f in list_data_files(d) if f not in base and f not in batch1]
+
+    barrier = threading.Barrier(2)
+    results: list[int] = []
+    errors: list[Exception] = []
+
+    def writer(batch):
+        try:
+            barrier.wait()
+            results.append(SnapshotLog(d).commit_append(batch))
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    ts = [threading.Thread(target=writer, args=(b,)) for b in (batch1, batch2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors
+    assert sorted(results) == [1, 2]
+    final = set(SnapshotLog(d).snapshot()["files"])
+    assert base | set(batch1) | set(batch2) <= final
+    assert sorted(r.id for r in log.read(spark).collect()) == [1, 2, 3]
+
+
+def test_tags_pin_versions_from_vacuum(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    v0 = log.commit("overwrite")
+    assert log.tag("gold") == v0
+    files_v0 = set(log.snapshot(v0)["files"])
+
+    # logical overwrite: v1 references only the new file, old file stays
+    # on disk (external-writer usage) so vacuum is what reclaims it
+    _write(spark, d, [(9, "z")], mode="append")
+    new_only = [f for f in list_data_files(d) if f not in files_v0]
+    log.commit("overwrite", files=new_only)
+
+    assert log.tags() == {"gold": v0}
+    assert [r.id for r in log.read(spark, tag="gold").collect()] == [1]
+    # tags are immutable and validated
+    with pytest.raises(ValueError):
+        log.tag("gold", 0)
+    with pytest.raises(ValueError):
+        log.tag("bad name!")
+
+    # the tag pins v0's files from reclamation...
+    assert log.vacuum(retain_last=1) == []
+    assert [r.id for r in log.read(spark, tag="gold").collect()] == [1]
+
+    # ...and an identical untagged table reclaims exactly those files
+    d2 = str(tmp_path / "u")
+    _write(spark, d2, [(1, "a")])
+    log2 = SnapshotLog(d2)
+    log2.commit("overwrite")
+    old2 = set(list_data_files(d2))
+    _write(spark, d2, [(9, "z")], mode="append")
+    log2.commit("overwrite", files=[f for f in list_data_files(d2) if f not in old2])
+    assert set(log2.vacuum(retain_last=1)) == old2
