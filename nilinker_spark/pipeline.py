@@ -407,6 +407,18 @@ class Pipeline:
         """Committed versions of a stage table, oldest first."""
         return SnapshotLog(self._path(stage)).history()
 
+    def read_stage_changes(
+        self, stage: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental consumption of an append stage table: exactly the
+        rows ``run_incremental`` batches added after ``from_version`` —
+        what a downstream index/serving updater reads per batch instead
+        of rescanning the table (raises if the range is not
+        append-only; snapshots.read_changes)."""
+        return SnapshotLog(self._path(stage)).read_changes(
+            self.spark, from_version, to_version
+        )
+
     def vacuum_stage(self, stage: str, retain_last: int = 1) -> list[str]:
         """Reclaim data files only pre-``retain_last`` versions reference."""
         return SnapshotLog(self._path(stage)).vacuum(retain_last)

@@ -464,6 +464,41 @@ class SnapshotLog:
             reader = reader.schema(schema)
         return reader.parquet(*paths)
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Incremental scan (Iceberg incremental read): exactly the rows
+        ADDED after ``from_version``, up to and including ``to_version``
+        (default latest) — the consume-only-the-new-batch primitive a
+        downstream index/serving job wants after each
+        ``run_incremental``.
+
+        Planned purely from manifests: the file-set difference, read
+        under ``to_version``'s schema (added columns null-fill, matching
+        a full read of the newer version).  Every version in the range
+        must be an ``append``: an overwrite/compact/rollback in between
+        rewrites history, so "what changed" is not expressible as added
+        rows — that raises ValueError rather than returning something
+        misleading."""
+        m_to = self.snapshot(to_version)
+        to_v = m_to["version"]
+        if from_version > to_v:
+            raise ValueError(f"from_version {from_version} > to_version {to_v}")
+        for v in range(from_version + 1, to_v + 1):
+            op = self.snapshot(v)["operation"]
+            if op != "append":
+                raise ValueError(
+                    f"version {v} is {op!r}: the range ({from_version}, {to_v}] "
+                    "is not append-only, so its delta is not a set of added "
+                    "rows — read the versions directly instead"
+                )
+        base = set(self.snapshot(from_version)["files"])
+        new_files = [f for f in m_to["files"] if f not in base]
+        return self._read_files(spark, m_to, sorted(new_files))
+
     def prune(
         self,
         spark: SparkSession,

@@ -188,6 +188,13 @@ def test_pipeline_time_travel_across_incremental(spark, kb, webtext_rows, tmp_pa
     ops = [h["operation"] for h in pipe.stage_history("mentions")]
     assert ops[-1] == "append" and "overwrite" in ops
 
+    # incremental consumption: the delta read IS the appended batch —
+    # a downstream updater processes exactly these rows, not a rescan
+    delta = pipe.read_stage_changes("mentions", pre_version).toPandas()
+    assert len(delta) == len(latest) - len(pre)
+    merged = pre.merge(delta, on=key, how="inner")
+    assert merged.empty  # nothing from the pre-batch table leaks in
+
 
 def test_wal_rollback_publishes_recovered_version(spark, kb, webtext_rows, tmp_path_factory):
     """A batch that crashed between its appends and its WAL commit leaves
@@ -436,3 +443,33 @@ def test_tags_pin_versions_from_vacuum(spark, tmp_path):
     _write(spark, d2, [(9, "z")], mode="append")
     log2.commit("overwrite", files=[f for f in list_data_files(d2) if f not in old2])
     assert set(log2.vacuum(retain_last=1)) == old2
+
+
+def test_read_changes_incremental_scan(spark, tmp_path):
+    """Incremental read: exactly the rows added in (from, to], planned
+    from manifests; ranges crossing a non-append commit raise."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    v0 = log.commit("overwrite")
+    _write(spark, d, [(2, "b")], mode="append")
+    v1 = log.commit("append")
+    _write(spark, d, [(3, "c")], mode="append")
+    v2 = log.commit("append")
+
+    assert sorted(r.id for r in log.read_changes(spark, v0).collect()) == [2, 3]
+    assert [r.id for r in log.read_changes(spark, v1, v2).collect()] == [3]
+    empty = log.read_changes(spark, v2, v2)
+    assert empty.count() == 0 and empty.columns == ["id", "val"]
+    with pytest.raises(ValueError):
+        log.read_changes(spark, v2, v0)
+
+    _write(spark, d, [(9, "z")])  # overwrite rewrites history
+    log.commit("overwrite")
+    with pytest.raises(ValueError):
+        log.read_changes(spark, v0)
+    # a range that stops before the overwrite plans fine, but Spark's
+    # overwrite physically replaced those files — the read expires
+    # loudly instead of returning wrong rows (same rule as read())
+    with pytest.raises(SnapshotExpired):
+        log.read_changes(spark, v1, v2).collect()
