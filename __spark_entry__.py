@@ -377,6 +377,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), budget=2048, bucket_width=64
     )
 
+    # threshold 0.70 sits inside the sf0.01 per-source mean range
+    # (0.66-0.75), so both keep outcomes are populated
+    q["source_stats"] = lambda spark, sf: C.source_stats(
+        _docs(spark, sf), min_mean_quality=0.70
+    )
+
     # --- events: windowed agg + sessionization ----------------------------------
     def windowed_agg(spark, sf):
         ev = load_table(spark, sf, "events")
@@ -1095,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate",
         "importance_resample",
         "pack_sequences",
+        "source_stats",
     ]
     trail = [
         "mention_dedup",
@@ -1109,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk",
         "split_assign",
         "scalar_normalize",
+        "sample_head",
     ]
     lead = [n for n in lead if n in q]
     mid = [n for n in q if n not in lead and n not in trail]
@@ -1620,6 +1628,19 @@ def oracle_sql() -> dict[str, str]:
         + _H60.format(x="'resample-v1#' || cast(doc_id as varchar)")
         + " % 10000 as draw_bp from q) "
         "select doc_id, bucket, draw_bp from r where draw_bp < rate_bp"
+    )
+    # per-domain curation twin: quality CTE from the text_quality twin
+    # with source carried through; mean over the per-doc 4 dp values,
+    # itself rounded to 4 dp (the cross-engine float rule)
+    o["source_stats"] = (
+        "with base as (select doc_id, source, text, string_split(text, ' ') as toks from documents), "
+        "m as (select doc_id, source, text, len(toks) as n, "
+        "len(list_filter(toks, t -> list_contains(['the','a','an','of','and','to','in','is','was','for','on','that','with','as'], t))) as n_stop, "
+        "length(regexp_replace(text, '[^a-z]', '', 'g')) as alpha from base), "
+        "q as (select source, n as n_tokens, round(least(n / 100.0, 1.0) * 0.5 + (1 - n_stop / n) * 0.2 + (alpha / length(text)) * 0.3, 4) as quality from m) "
+        "select source, count(*) as n_docs, cast(sum(n_tokens) as bigint) as total_tokens, "
+        "round(avg(quality), 4) as mean_quality, round(avg(quality), 4) >= 0.70 as keep "
+        "from q group by source"
     )
     # distributed-prefix-sum packing twin: DuckDB computes the same
     # bucketed exclusive cumsum in one pass (sum casts: DuckDB sum(int)

@@ -559,29 +559,64 @@ def remove_stopwords(docs: DataFrame) -> DataFrame:
 _STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "was", "for", "on", "that", "with", "as"]
 
 
+def _quality_cols() -> dict[str, F.Column]:
+    """The webtext quality metrics as named closed-form columns over a
+    ``text`` column — the ONE definition text_quality, source_stats and
+    importance_resample all project (repo rule: shared semantics live in
+    one place)."""
+    toks = tokens_col("text")
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
+    return {
+        "n_tokens": n,
+        "avg_token_len": F.round((F.length("text") - n + 1) / n, 4),
+        "stopword_ratio": F.round(n_stop / n, 4),
+        "alpha_ratio": F.round(alpha_chars / F.length("text"), 4),
+        "quality": F.round(
+            F.least(n / F.lit(100.0), F.lit(1.0)) * 0.5
+            + (1 - n_stop / n) * 0.2
+            + (alpha_chars / F.length("text")) * 0.3,
+            4,
+        ),
+    }
+
+
 def text_quality(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, avg_token_len, stopword_ratio, alpha_ratio, quality).
 
     Length/punct/stopword heuristics — the standard webtext quality gates,
     all closed-form column expressions.
     """
-    toks = tokens_col("text")
-    n = F.size(toks)
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
+    q = _quality_cols()
     return docs.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        F.round((F.length("text") - n + 1) / n, 4).alias("avg_token_len"),
-        F.round(n_stop / n, 4).alias("stopword_ratio"),
-        F.round(alpha_chars / F.length("text"), 4).alias("alpha_ratio"),
-        F.round(
-            F.least(n / F.lit(100.0), F.lit(1.0)) * 0.5
-            + (1 - n_stop / n) * 0.2
-            + (alpha_chars / F.length("text")) * 0.3,
-            4,
-        ).alias("quality"),
+        "doc_id", *(q[k].alias(k) for k in ("n_tokens", "avg_token_len", "stopword_ratio", "alpha_ratio", "quality"))
+    )
+
+
+def source_stats(docs: DataFrame, min_mean_quality: float = 0.6) -> DataFrame:
+    """(source, n_docs, total_tokens, mean_quality, keep) — per-domain
+    curation stats (RefinedWeb-style domain-level filtering, at this
+    table's ``source`` granularity): flag whole sources whose average
+    quality misses the gate, the pass that drops a boilerplate domain
+    wholesale instead of scoring its documents one by one.
+
+    ONE corpus scan projected straight into a source-keyed aggregate —
+    no join back onto the corpus (the quality columns come from the
+    shared :func:`_quality_cols`, so document- and domain-level scoring
+    can never drift apart).  mean_quality rounds to 4 dp over the
+    per-doc 4 dp values (the cross-engine float rule)."""
+    q = _quality_cols()
+    return (
+        docs.select("source", q["n_tokens"].alias("n_tokens"), q["quality"].alias("quality"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("mean_quality"),
+        )
+        .withColumn("keep", F.col("mean_quality") >= min_mean_quality)
     )
 
 

@@ -489,3 +489,30 @@ def test_trainprep_ops_no_python(spark):
     assert not has_python_stage(C.decontaminate(docs, docs.limit(1)))
     assert not has_python_stage(C.importance_resample(docs))
     assert not has_python_stage(C.pack_sequences(docs, budget=8, bucket_width=2))
+    assert not has_python_stage(C.source_stats(docs))
+
+
+def test_source_stats_domain_gate(spark):
+    rows = (
+        # src "good": long alpha-rich docs; src "junk": short low-alpha
+        [(i, "alpha beta gamma delta " * 8, "en", "good", 0) for i in range(4)]
+        + [(10 + i, "x 1 2 3!!", "en", "junk", 0) for i in range(4)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["source"]: r for r in C.source_stats(docs, min_mean_quality=0.5).collect()}
+    assert out["good"]["n_docs"] == 4 and out["junk"]["n_docs"] == 4
+    assert out["good"]["keep"] and not out["junk"]["keep"]
+    # mean over the shared per-doc quality definition, rounded to 4 dp
+    import statistics
+
+    for src in ("good", "junk"):
+        qs = [r["quality"] for r in C.text_quality(docs).join(
+            docs.select("doc_id", "source"), "doc_id").filter(
+            F.col("source") == src).collect()]
+        assert out[src]["mean_quality"] == round(statistics.fmean(qs), 4)
+        assert out[src]["total_tokens"] == sum(
+            r["n_tokens"] for r in C.text_quality(docs).join(
+                docs.select("doc_id", "source"), "doc_id").filter(
+                F.col("source") == src).collect())
