@@ -958,6 +958,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_frame_sample"] = media_frame_sample
 
+    def media_resize(spark, sf):
+        """Resize plumbing as a contract row (multimodal.resize_media):
+        deterministic stride downsample from the meta dims to 4x4, the
+        resized payload surfaced as md5 + length (ASCII corpus text, so
+        the DuckDB twin re-derives the exact bytes via substr over a
+        stepped range)."""
+        from nilinker_spark.operators import multimodal as M
+
+        docs = _docs(spark, sf)
+        media = docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.try_element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("kind"),
+            F.encode("text", "utf-8").alias("payload"),
+            F.struct(
+                F.lit("text/plain").alias("mime"),
+                (F.col("doc_id") % 13 + 4).cast("int").alias("width"),
+                (F.col("doc_id") % 7 + 4).cast("int").alias("height"),
+                F.lit(0).cast("int").alias("duration_ms"),
+            ).alias("meta"),
+        )
+        rz = M.resize_media(media, target_w=4, target_h=4)
+        return rz.select(
+            "media_id",
+            F.col("meta.width").alias("new_width"),
+            F.col("meta.height").alias("new_height"),
+            F.length("payload").alias("out_len"),
+            F.md5(F.decode("payload", "utf-8")).alias("out_md5"),
+        )
+
+    q["media_resize"] = media_resize
+
     def stream_windowed_counts(spark, sf):
         """Watermarked event-time windowed aggregation as a contract row:
         the streaming mention extraction feeds windowed_mention_counts
@@ -1102,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_resample",
         "pack_sequences",
         "source_stats",
+        "media_resize",
     ]
     trail = [
         "mention_dedup",
@@ -1117,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign",
         "scalar_normalize",
         "sample_head",
+        "scalar_id_coercion",
     ]
     lead = [n for n in lead if n in q]
     mid = [n for n in q if n not in lead and n not in trail]
@@ -1975,6 +2011,18 @@ def oracle_sql() -> dict[str, str]:
         "from m, unnest(range(0, greatest(length(txt) // 64, 1), 4)) as k(k)) "
         "select media_id, frame_idx, md5(fr) as frame_md5, "
         "cast(length(fr) as int) as frame_len from f"
+    )
+    # resize twin: same stride arithmetic from the synthetic meta dims;
+    # the resized bytes re-derived one char at a time over a stepped
+    # range (ASCII corpus text: byte slices == char slices)
+    o["media_resize"] = (
+        "with m as (select doc_id as media_id, text as txt, "
+        "greatest(1, ((doc_id % 13 + 4) * (doc_id % 7 + 4)) // 16) as stride from documents), "
+        "p as (select media_id, string_agg(substr(txt, cast(i.i as int), 1), '' order by i.i) as rz, "
+        "count(*) as out_len from m, unnest(range(1, length(txt) + 1, stride)) as i(i) "
+        "group by media_id) "
+        "select media_id, cast(4 as int) as new_width, cast(4 as int) as new_height, "
+        "cast(out_len as int) as out_len, md5(rz) as out_md5 from p"
     )
     o["eval_filter_top_pred"] = (
         "with q as (select vec_id as query_id, embedding as qe from embeddings where vec_id < 10), "

@@ -125,6 +125,47 @@ def frame_sample(media: DataFrame, frame_bytes: int = 64, every_n: int = 4) -> D
     )
 
 
+def resize_media(
+    media: DataFrame, target_w: int = 4, target_h: int = 4, use_codec: bool = False
+) -> DataFrame:
+    """Resize plumbing (the third op of the brief's decode / feature-
+    extract / resize / frame-sample quartet): payload -> resized payload
+    with the meta struct's dimensions updated.
+
+    The codec-free stand-in downsamples DETERMINISTICALLY — keep every
+    stride-th byte, stride = max(1, (w*h) // (target_w*target_h)) from
+    the meta dims — so output size tracks the area ratio like a real
+    resample and an independent SQL engine can recompute the bytes
+    (media_resize contract row).  ``use_codec=True`` takes the PIL path
+    (NotImplementedError without the library, like the decode stub).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_meta = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                b = bytes(payload)
+                if use_codec:
+                    _real_image_decode(b)  # raises NotImplementedError here
+                w = (meta.get("width") if isinstance(meta, dict) else meta["width"]) or 1
+                h = (meta.get("height") if isinstance(meta, dict) else meta["height"]) or 1
+                stride = max(1, (w * h) // (target_w * target_h))
+                out_payload.append(b[::stride])
+                m = dict(meta) if isinstance(meta, dict) else dict(meta.asDict())
+                m["width"], m["height"] = target_w, target_h
+                out_meta.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "meta": out_meta,
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def make_media_fixture(spark, n: int = 50, seed: int = 42) -> DataFrame:
     """Seeded synthetic media table (payload = deterministic pseudo-bytes)."""
     rng = np.random.default_rng(seed)

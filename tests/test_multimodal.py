@@ -11,6 +11,7 @@ from nilinker_spark.operators.multimodal import (
     extract_media_features,
     frame_sample,
     make_media_fixture,
+    resize_media,
 )
 
 
@@ -67,3 +68,33 @@ def test_frame_sampling(spark, media):
     assert (pdf["frame_idx"] % 4 == 0).all()
     assert pdf.groupby("media_id").size().min() >= 1
     assert n_videos > 0
+
+
+def test_resize_media_stride_and_meta(spark, media):
+    out = resize_media(media, target_w=4, target_h=4)
+    rows = {r["media_id"]: r for r in out.collect()}
+    src = {r["media_id"]: r for r in media.collect()}
+    assert rows.keys() == src.keys()
+    for mid, r in rows.items():
+        s = src[mid]
+        stride = max(1, (s["meta"]["width"] * s["meta"]["height"]) // 16)
+        assert bytes(r["payload"]) == bytes(s["payload"])[::stride]
+        assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4
+        assert r["meta"]["mime"] == s["meta"]["mime"]
+        assert r["meta"]["duration_ms"] == s["meta"]["duration_ms"]
+        assert r["kind"] == s["kind"]
+
+
+def test_resize_codec_path_gated(spark, media):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed: the real path would run")
+    except ImportError:
+        pass
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError)) as exc:
+        resize_media(media, use_codec=True).collect()
+    assert "NotImplementedError" in str(exc.value) or "PIL" in str(exc.value)
