@@ -516,3 +516,51 @@ def test_source_stats_domain_gate(spark):
             r["n_tokens"] for r in C.text_quality(docs).join(
                 docs.select("doc_id", "source"), "doc_id").filter(
                 F.col("source") == src).collect())
+
+
+def test_trainprep_randomized_bruteforce(spark):
+    """Seeded random corpora vs plain-Python oracles: decontaminate's
+    survivors share NO k-gram with the benchmark (and every dropped doc
+    shares one); pack_sequences equals the naive global cumsum at two
+    bucket widths."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(1, 12))
+        rows.append((i, " ".join(rng.choice(vocab, size=n)), "en", "s", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    texts = {i: t for i, t, *_ in rows}
+
+    def grams(t, k=3):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    bench_ids = {i for i in texts if i % 7 == 0}
+    bench_grams = set().union(*(grams(texts[i]) for i in bench_ids))
+    out = C.decontaminate(
+        docs.filter(F.col("doc_id") % 7 != 0), docs.filter(F.col("doc_id") % 7 == 0), k=3
+    )
+    survivors = {r["doc_id"] for r in out.collect()}
+    for i in texts:
+        if i in bench_ids:
+            assert i not in survivors
+        elif grams(texts[i]) & bench_grams:
+            assert i not in survivors, i
+        else:
+            assert i in survivors, i
+
+    for width in (5, 64):
+        got = {
+            r["doc_id"]: (r["shard_id"], r["shard_offset"])
+            for r in C.pack_sequences(docs, budget=7, bucket_width=width).collect()
+        }
+        before = 0
+        for i in range(60):
+            n = len(texts[i].split(" "))
+            assert got[i] == (before // 7, before % 7), (width, i)
+            before += n
