@@ -547,6 +547,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q1"] = tpch_q1
 
+    def tpch_q3(spark, sf):
+        """Q3 shipping-priority shape over the synthetic tables: selective
+        dim filter broadcast into a fact join, date predicates pushed to
+        both scans, rank on the ROUNDED revenue (ties broken by orderkey
+        — the cross-engine float rule)."""
+        c = (
+            load_table(spark, sf, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey")
+        )
+        o = load_table(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+        li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+        rev = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == F.col("c_custkey"))
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                    "revenue"
+                )
+            )
+        )
+        w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        return (
+            rev.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select(
+                "l_orderkey",
+                "revenue",
+                F.col("o_orderdate").cast("string").alias("o_orderdate"),
+                "o_orderpriority",
+                "rank",
+            )
+        )
+
+    q["tpch_q3"] = tpch_q3
+
     def top_revenue_nations(spark, sf):
         cust = load_table(spark, sf, "customer")
         orders = load_table(spark, sf, "orders")
@@ -1137,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences",
         "source_stats",
         "media_resize",
+        "tpch_q3",
     ]
     trail = [
         "mention_dedup",
@@ -1153,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_normalize",
         "sample_head",
         "scalar_id_coercion",
+        "eval_lang_micro",
     ]
     lead = [n for n in lead if n in q]
     mid = [n for n in q if n not in lead and n not in trail]
@@ -1777,6 +1816,17 @@ def oracle_sql() -> dict[str, str]:
         "round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price, "
         "round(avg(l_quantity), 4) as avg_qty, count(*) as count_order "
         "from lineitem where l_shipdate <= '1998-09-02' group by 1, 2"
+    )
+    o["tpch_q3"] = (
+        "with rev as (select l_orderkey, o_orderdate, o_orderpriority, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue "
+        "from lineitem join orders on l_orderkey = o_orderkey "
+        "join customer on o_custkey = c_custkey "
+        "where c_mktsegment = 'BUILDING' and o_orderdate < '1998-01-01' "
+        "and l_shipdate > '1998-01-01' group by 1, 2, 3), "
+        "k as (select l_orderkey, revenue, cast(o_orderdate as varchar) as o_orderdate, "
+        "o_orderpriority, row_number() over (order by revenue desc, l_orderkey asc) as rank from rev) "
+        "select l_orderkey, revenue, o_orderdate, o_orderpriority, rank from k where rank <= 10"
     )
     o["top_revenue_nations"] = (
         "with r as (select n_name, round(sum(o_totalprice), 2) as revenue "
