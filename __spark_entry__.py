@@ -2071,8 +2071,11 @@ def oracle_sql() -> dict[str, str]:
         "p as (select media_id, string_agg(substr(txt, cast(i.i as int), 1), '' order by i.i) as rz, "
         "count(*) as out_len from m, unnest(range(1, length(txt) + 1, stride)) as i(i) "
         "group by media_id) "
-        "select media_id, cast(4 as int) as new_width, cast(4 as int) as new_height, "
-        "cast(out_len as int) as out_len, md5(rz) as out_md5 from p"
+        # left join: an empty-text doc has zero gather positions, but the
+        # Spark side still emits its (0-byte, md5('')) row
+        "select m.media_id, cast(4 as int) as new_width, cast(4 as int) as new_height, "
+        "cast(coalesce(p.out_len, 0) as int) as out_len, md5(coalesce(p.rz, '')) as out_md5 "
+        "from m left join p using (media_id)"
     )
     o["eval_filter_top_pred"] = (
         "with q as (select vec_id as query_id, embedding as qe from embeddings where vec_id < 10), "

@@ -113,8 +113,13 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle_hash) distinct — word k-shingles, hashed."""
+def gram_hash_rows(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, sh) — hashed word k-grams, NOT distinct.
+
+    The ONE gram derivation (repo rule: shared semantics live in one
+    place): :func:`shingles` adds the distinct for set semantics;
+    :func:`decontaminate` consumes the raw multiset (a semi-join doesn't
+    need the corpus-wide distinct shuffle)."""
     toks = tokens_col("text")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
@@ -122,8 +127,12 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
         docs.select("doc_id", F.explode(sh).alias("shingle"))
         .filter(F.size(F.split("shingle", " ")) == k)
         .select("doc_id", h60(F.col("shingle")).alias("sh"))
-        .distinct()
     )
+
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle_hash) distinct — word k-shingles, hashed."""
+    return gram_hash_rows(docs, k).distinct()
 
 
 def cap_shingle_df(sh: DataFrame, max_df: int, metrics_out: dict | None = None) -> DataFrame:
@@ -936,20 +945,9 @@ def decontaminate(
     the final doc_id distinct, which is bounded by the contaminated-set
     size, not the corpus.
     """
-    toks = tokens_col("text")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
-    gram = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-
-    def grams_of(df: DataFrame) -> DataFrame:
-        return (
-            df.select("doc_id", F.explode(gram).alias("gram"))
-            .filter(F.size(F.split("gram", " ")) == k)
-            .select("doc_id", h60(F.col("gram")).alias("sh"))
-        )
-
-    bench_grams = grams_of(benchmark).select("sh").distinct()
+    bench_grams = gram_hash_rows(benchmark, k).select("sh").distinct()
     contaminated = (
-        grams_of(docs)
+        gram_hash_rows(docs, k)
         .join(F.broadcast(bench_grams), "sh", "left_semi")
         .select("doc_id")
         .distinct()

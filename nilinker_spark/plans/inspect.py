@@ -55,9 +55,18 @@ def shuffle_exchange_count(df: DataFrame) -> int:
     """Number of shuffle Exchange operators in the physical plan
     (BroadcastExchange excluded — broadcasts move a dim, not the data).
     Count with AQE off for a deterministic pre-runtime shape: under AQE
-    the string carries AQEShuffleRead wrappers and staged re-plans."""
+    the string carries AQEShuffleRead wrappers and staged re-plans.
+
+    Anchored at tree-node positions: a ReusedExchange node's simple-mode
+    line embeds its child's 'Exchange hashpartitioning(...)' string
+    (which must NOT count — the shuffle runs once), and
+    RoundRobinPartitioning (repartition(n)) must count too."""
     text = explain_str(df, "simple")
-    return len(re.findall(r"(?<!Broadcast)Exchange (?:hash|range|Single)", text))
+    return len(
+        re.findall(
+            r"(?m)^[\s:+\-*]*Exchange (?:hash|range|Single|RoundRobin)", text
+        )
+    )
 
 
 _PYTHON_MARKERS = (
