@@ -214,3 +214,41 @@ def test_streaming_scan_shares_zipf_head_eviction():
     src = inspect.getsource(S.stream_mentions)
     assert "_evict_norm_cache" in src
     assert "_NORM_CACHE.clear()" not in src
+
+
+def test_stream_corpus_quality_equals_batch(spark, tmp_path_factory):
+    """The corpus quality/resampling gates are pure column expressions,
+    so the SAME operator code runs unchanged over a readStream: an
+    availableNow drain of text_quality + importance_resample on a file
+    stream equals the batch result row-for-row (the streaming half of
+    the training-prep surface)."""
+    import nilinker_spark.operators.corpus as C
+
+    base = tmp_path_factory.mktemp("stream_quality")
+    src, sink, ckpt = str(base / "src"), str(base / "sink"), str(base / "ckpt")
+    rows = [
+        (i, " ".join(["the", "cat", f"tok{i % 7}", "sat"] * (1 + i % 5)), "en", "s", 0)
+        for i in range(40)
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+
+    stream_docs = spark.readStream.schema(schema).parquet(src)
+    kept = C.importance_resample(stream_docs)
+    q = (
+        kept.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["bucket"], r["draw_bp"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch = {
+        (r["doc_id"], r["bucket"], r["draw_bp"])
+        for r in C.importance_resample(spark.read.parquet(src)).collect()
+    }
+    assert got == batch and batch  # non-empty and identical
