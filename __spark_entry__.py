@@ -391,7 +391,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.date_trunc("hour", "ts").cast("string").alias("hour"),
                 "event_type",
             )
-            .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+            # value is exact 2-dp money: average in EXACT integer cents,
+            # then fix to 4 dp by INTEGER division — no float round at
+            # all.  round(avg(double),4) diverged two ways at sf0.1:
+            # partial-agg order ulps on the float sum, and (after making
+            # the sum exact) the .xxxx5 quotients themselves — Spark
+            # rounds the shortest-decimal repr (HALF_UP -> up) while
+            # DuckDB rounds the binary value (just below .5 -> down).
+            # cents*100 div n floors identically in both engines
+            # (values are non-negative; floor == trunc).
+            .agg(
+                F.count("*").alias("n"),
+                (
+                    F.expr(
+                        "(sum(cast(round(value * 100) as bigint)) * 100) div count(*)"
+                    )
+                    / 10000.0
+                ).alias("avg_value"),
+            )
         )
 
     q["windowed_agg"] = windowed_agg
@@ -1735,7 +1752,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["windowed_agg"] = (
         "select cast(date_trunc('hour', ts) as varchar) as hour, event_type, "
-        "count(*) as n, round(avg(value), 4) as avg_value from events group by 1, 2"
+        "count(*) as n, "
+        "((cast(sum(cast(round(value * 100) as bigint)) as bigint) * 100) // count(*)) / 10000.0 as avg_value "
+        "from events group by 1, 2"
     )
     o["sessionization"] = (
         "with g as (select user_id, ts, lag(ts) over (partition by user_id order by ts, event_id) as prev_ts from events) "
