@@ -557,7 +557,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.sum("l_quantity").alias("sum_qty"),
                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                # integer-valued quantities: 4-dp fixed-point average by
+                # integer division (round(avg(double),4) is never
+                # hash-safe cross-engine — CLAUDE.md, found at sf0.1)
+                (
+                    F.expr(
+                        "(sum(cast(round(l_quantity) as bigint)) * 10000) div count(*)"
+                    )
+                    / 10000.0
+                ).alias("avg_qty"),
                 F.count("*").alias("count_order"),
             )
         )
@@ -1731,7 +1739,8 @@ def oracle_sql() -> dict[str, str]:
         "length(regexp_replace(text, '[^a-z]', '', 'g')) as alpha from base), "
         "q as (select source, n as n_tokens, round(least(n / 100.0, 1.0) * 0.5 + (1 - n_stop / n) * 0.2 + (alpha / length(text)) * 0.3, 4) as quality from m) "
         "select source, count(*) as n_docs, cast(sum(n_tokens) as bigint) as total_tokens, "
-        "round(avg(quality), 4) as mean_quality, round(avg(quality), 4) >= 0.70 as keep "
+        "(cast(sum(cast(round(quality * 10000) as bigint)) as bigint) // count(*)) / 10000.0 as mean_quality, "
+        "(cast(sum(cast(round(quality * 10000) as bigint)) as bigint) // count(*)) / 10000.0 >= 0.70 as keep "
         "from q group by source"
     )
     # distributed-prefix-sum packing twin: DuckDB computes the same
@@ -1833,7 +1842,8 @@ def oracle_sql() -> dict[str, str]:
         "select l_returnflag, l_linestatus, sum(l_quantity) as sum_qty, "
         "round(sum(l_extendedprice), 2) as sum_base_price, "
         "round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price, "
-        "round(avg(l_quantity), 4) as avg_qty, count(*) as count_order "
+        "((cast(sum(cast(round(l_quantity) as bigint)) as bigint) * 10000) // count(*)) / 10000.0 as avg_qty, "
+        "count(*) as count_order "
         "from lineitem where l_shipdate <= '1998-09-02' group by 1, 2"
     )
     o["tpch_q3"] = (

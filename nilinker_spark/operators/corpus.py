@@ -614,8 +614,9 @@ def source_stats(docs: DataFrame, min_mean_quality: float = 0.6) -> DataFrame:
     ONE corpus scan projected straight into a source-keyed aggregate —
     no join back onto the corpus (the quality columns come from the
     shared :func:`_quality_cols`, so document- and domain-level scoring
-    can never drift apart).  mean_quality rounds to 4 dp over the
-    per-doc 4 dp values (the cross-engine float rule)."""
+    can never drift apart).  mean_quality is a 4-dp FIXED-POINT mean by
+    integer division over the per-doc ten-thousandths — a rounded float
+    average is never hash-safe cross-engine (CLAUDE.md)."""
     q = _quality_cols()
     return (
         docs.select("source", q["n_tokens"].alias("n_tokens"), q["quality"].alias("quality"))
@@ -623,7 +624,10 @@ def source_stats(docs: DataFrame, min_mean_quality: float = 0.6) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("total_tokens"),
-            F.round(F.avg("quality"), 4).alias("mean_quality"),
+            (
+                F.expr("sum(cast(round(quality * 10000) as bigint)) div count(*)")
+                / 10000.0
+            ).alias("mean_quality"),
         )
         .withColumn("keep", F.col("mean_quality") >= min_mean_quality)
     )

@@ -504,14 +504,14 @@ def test_source_stats_domain_gate(spark):
     out = {r["source"]: r for r in C.source_stats(docs, min_mean_quality=0.5).collect()}
     assert out["good"]["n_docs"] == 4 and out["junk"]["n_docs"] == 4
     assert out["good"]["keep"] and not out["junk"]["keep"]
-    # mean over the shared per-doc quality definition, rounded to 4 dp
-    import statistics
-
+    # 4-dp fixed-point mean over the shared per-doc quality definition
+    # (integer division of ten-thousandths; CLAUDE.md float rule)
     for src in ("good", "junk"):
         qs = [r["quality"] for r in C.text_quality(docs).join(
             docs.select("doc_id", "source"), "doc_id").filter(
             F.col("source") == src).collect()]
-        assert out[src]["mean_quality"] == round(statistics.fmean(qs), 4)
+        expect = (sum(int(round(q * 10000)) for q in qs) // len(qs)) / 10000.0
+        assert out[src]["mean_quality"] == expect
         assert out[src]["total_tokens"] == sum(
             r["n_tokens"] for r in C.text_quality(docs).join(
                 docs.select("doc_id", "source"), "doc_id").filter(
