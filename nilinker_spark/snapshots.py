@@ -40,6 +40,18 @@ reads with its own schema, and the LATEST schema over a mixed file set
 null-fills the column in pre-evolution files (standard Spark parquet
 semantics under an explicit schema).
 
+Schema evolution beyond additive columns — :meth:`SnapshotLog.evolve`
+renames and drops — uses NAME MAPPING (Delta's column-mapping / Iceberg
+``schema.name-mapping.default``, the bridge real systems use for files
+written without field ids): a rename is a metadata-only commit that
+records the old physical name as an ALIAS of the new logical name, and
+reads coalesce the logical column over its alias generations so every
+vintage of part file resolves correctly in ONE scan.  A drop tombstones
+the name.  Because resolution is by name, re-using a physical name that
+is still aliased (or tombstoned) would be ambiguous — commits that
+would introduce one REFUSE loudly (real field-id evolution lifts that
+restriction; documented in the README swap table).
+
 Relation to the WAL (pipeline.py:322): the WAL makes crashed *writers*
 recoverable (orphan part files are deleted on the next entry); this log
 makes concurrent *readers* consistent (a manifest is only published
@@ -230,6 +242,10 @@ class SnapshotLog:
         operation: str,
         files: list[str] | None = None,
         expect_latest: int | None | str = "__any__",
+        *,
+        _schema: str | None = None,
+        _aliases: dict[str, list[str]] | None = None,
+        _tombstones: list[str] | None = None,
     ) -> int:
         """Publish the given (or current) file set as the next version.
 
@@ -267,7 +283,23 @@ class SnapshotLog:
                 f"but found {latest}; re-derive the file list and retry"
             )
         version = 0 if latest is None else latest + 1
-        schema_json = self._schema_json(operation, files, parent=latest)
+        schema_json = (
+            _schema if _schema is not None else self._schema_json(operation, files, parent=latest)
+        )
+        # name-mapping metadata (evolve()): append/rollback carry the
+        # parent's mapping forward (metadata describes the table, not a
+        # batch); overwrite/compact physically rewrite every file under
+        # the CURRENT logical names, so the mapping resets to identity.
+        if _aliases is not None or _tombstones is not None:
+            aliases = dict(_aliases or {})
+            tombstones = list(_tombstones or [])
+        elif operation in ("append", "rollback") and latest is not None:
+            pm = self.snapshot(latest)
+            aliases = dict(pm.get("aliases") or {})
+            tombstones = list(pm.get("tombstones") or [])
+        else:
+            aliases, tombstones = {}, []
+        schema_json = self._check_mapping(operation, schema_json, aliases, tombstones)
         manifest = {
             "version": version,
             "operation": operation,
@@ -283,6 +315,10 @@ class SnapshotLog:
             # forward, so an append commit only reads the NEW footers
             "file_stats": self._file_stats(files, parent=latest),
         }
+        if aliases:
+            manifest["aliases"] = {k: sorted(v) for k, v in sorted(aliases.items())}
+        if tombstones:
+            manifest["tombstones"] = sorted(set(tombstones))
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -322,6 +358,119 @@ class SnapshotLog:
         raise SnapshotConflict(
             f"{self.table_dir}: append lost the commit race {max_retries + 1} "
             f"times ({last_err}); raise max_retries or reduce writer fan-in"
+        )
+
+    def _check_mapping(
+        self,
+        operation: str,
+        schema_json: str | None,
+        aliases: dict[str, list[str]],
+        tombstones: list[str],
+    ) -> str | None:
+        """Enforce the name-mapping invariant on a commit's schema: no
+        logical field name may shadow an aliased physical name (two
+        vintages of file would merge two different logical columns) or a
+        tombstoned name (a dropped column's historical values would
+        silently resurrect).  Field-id evolution has no such restriction;
+        this name-based stand-in refuses instead of guessing.
+
+        ``rollback`` is the one operation whose schema comes from raw
+        parquet footers AFTER a mapping may exist (its restored files
+        predate the crashed batch but the mapping is table metadata), so
+        its schema is REMAPPED physical->logical here rather than
+        rejected."""
+        if schema_json is None or (not aliases and not tombstones):
+            return schema_json
+        phys_to_logical = {p: lg for lg, ps in aliases.items() for p in ps}
+        dead = set(tombstones)
+        st = StructType.fromJson(json.loads(schema_json))
+        if operation == "rollback":
+            fields, seen = [], set()
+            for f in st.fields:
+                if f.name in dead:
+                    continue
+                name = phys_to_logical.get(f.name, f.name)
+                if name in seen:
+                    continue
+                if name != f.name:
+                    f = type(f)(name, f.dataType, f.nullable, f.metadata)
+                fields.append(f)
+                seen.add(name)
+            return StructType(fields).json()
+        bad = [f.name for f in st.fields if f.name in phys_to_logical or f.name in dead]
+        if bad:
+            raise ValueError(
+                f"{self.table_dir}: {operation} would introduce column(s) {bad} "
+                "whose name is an aliased physical name or a dropped column's "
+                "tombstone — name-mapped resolution would be ambiguous; pick "
+                "a fresh name (field-id evolution would allow this; see the "
+                "README swap table)"
+            )
+        return schema_json
+
+    def evolve(
+        self,
+        renames: dict[str, str] | None = None,
+        drops: list[str] | None = None,
+    ) -> int:
+        """Metadata-only schema evolution: rename and/or drop columns
+        without touching a single data file (Iceberg ``ALTER TABLE`` on
+        a 100 TB table is exactly this — a new schema + name mapping in
+        the log).  Returns the committed version.
+
+        Renames record the old name as a physical ALIAS of the new
+        logical name; drops TOMBSTONE the name (and its aliases).  Reads
+        of this and later versions resolve every file vintage through
+        the mapping in one scan; earlier versions still read with their
+        own schema (time travel is unaffected).  Conflicting concurrent
+        commits surface as :class:`SnapshotConflict` via the derived-from
+        guard — evolve never auto-retries (it does not commute with
+        writes the way appends do)."""
+        renames = dict(renames or {})
+        drops = list(drops or [])
+        if not renames and not drops:
+            raise ValueError("evolve: nothing to do (no renames, no drops)")
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError(f"no snapshots to evolve at {self.log_dir}")
+        pm = self.snapshot(parent)
+        if not pm.get("schema"):
+            raise ValueError(f"{self.table_dir}: version {parent} has no schema to evolve")
+        schema = StructType.fromJson(json.loads(pm["schema"]))
+        names = [f.name for f in schema.fields]
+        aliases = {k: list(v) for k, v in (pm.get("aliases") or {}).items()}
+        tombstones = list(pm.get("tombstones") or [])
+        missing = [c for c in list(renames) + drops if c not in names]
+        if missing:
+            raise ValueError(f"evolve: no such column(s) {missing} in {names}")
+        overlap = [c for c in renames if c in drops]
+        if overlap:
+            raise ValueError(f"evolve: column(s) {overlap} both renamed and dropped")
+        final = [renames.get(n, n) for n in names if n not in drops]
+        dup = sorted({n for n in final if final.count(n) > 1})
+        if dup:
+            raise ValueError(f"evolve: resulting schema has duplicate column(s) {dup}")
+        fields = []
+        for f in schema.fields:
+            if f.name in drops:
+                # the dropped logical name AND every physical vintage of
+                # it must never resolve again
+                tombstones += [f.name] + aliases.pop(f.name, [])
+                continue
+            if f.name in renames:
+                new = renames[f.name]
+                aliases[new] = aliases.pop(f.name, []) + [f.name]
+                f = type(f)(new, f.dataType, f.nullable, f.metadata)
+            fields.append(f)
+        # _check_mapping (inside commit) rejects a target name that is
+        # itself an alias/tombstone of ANOTHER column
+        return self.commit(
+            "evolve",
+            files=pm["files"],
+            expect_latest=parent,
+            _schema=StructType(fields).json(),
+            _aliases=aliases,
+            _tombstones=tombstones,
         )
 
     def _file_stats(self, files: list[str], parent: int | None) -> dict:
@@ -459,10 +608,50 @@ class SnapshotLog:
             # zero selected files: empty frame with the version's schema
             return spark.createDataFrame([], schema if schema is not None else StructType([]))
         paths = [os.path.join(self.table_dir, f) for f in files]
+        aliases = manifest.get("aliases") or {}
+        if schema is not None and aliases:
+            return self._read_mapped(spark, schema, aliases, paths)
         reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)
         return reader.parquet(*paths)
+
+    @staticmethod
+    def _read_mapped(
+        spark: SparkSession,
+        schema: StructType,
+        aliases: dict[str, list[str]],
+        paths: list[str],
+    ) -> DataFrame:
+        """ONE scan over every file vintage under a name mapping: the
+        read schema is the logical schema PLUS each aliased physical
+        name typed like its logical column (absent names null-fill per
+        file — standard explicit-schema parquet semantics), and each
+        renamed logical column is the coalesce over its generations.
+        Exactly one generation is non-null per file because commits
+        refuse name reuse (_check_mapping), so coalesce is resolution,
+        never precedence.  Dropped columns are simply not in the read
+        schema — Spark never deserializes them (column pruning still
+        applies to historical files)."""
+        from pyspark.sql import functions as F
+
+        by_name = {f.name: f for f in schema.fields}
+        read_fields = list(schema.fields)
+        for logical, phys in aliases.items():
+            lf = by_name.get(logical)
+            if lf is None:
+                continue  # an alias of a since-dropped column
+            for p in phys:
+                read_fields.append(type(lf)(p, lf.dataType, True))
+        df = spark.read.schema(StructType(read_fields)).parquet(*paths)
+        cols = []
+        for f in schema.fields:
+            phys = aliases.get(f.name)
+            if phys:
+                cols.append(F.coalesce(f.name, *phys).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        return df.select(*cols)
 
     def read_changes(
         self,
@@ -489,7 +678,10 @@ class SnapshotLog:
             raise ValueError(f"from_version {from_version} > to_version {to_v}")
         for v in range(from_version + 1, to_v + 1):
             op = self.snapshot(v)["operation"]
-            if op != "append":
+            # evolve commits no data files, so a range crossing one is
+            # still a pure set of added rows — read under to_version's
+            # schema + mapping like any other incremental scan
+            if op not in ("append", "evolve"):
                 raise ValueError(
                     f"version {v} is {op!r}: the range ({from_version}, {to_v}] "
                     "is not append-only, so its delta is not a set of added "
@@ -522,13 +714,17 @@ class SnapshotLog:
 
         m = self.snapshot(version)
         stats = m.get("file_stats", {})
+        # under a name mapping a historical file's footer records the
+        # PHYSICAL name of the column — its bounds prune just the same
+        stat_keys = [column] + list((m.get("aliases") or {}).get(column, []))
         selected = []
         for f in m["files"]:
             st = stats.get(f)
-            if st is None or column not in st.get("mins", {}):
+            key = next((k for k in stat_keys if st and k in st.get("mins", {})), None)
+            if key is None:
                 selected.append(f)  # no provable bounds: must scan
                 continue
-            fmin, fmax = st["mins"][column], st["maxs"][column]
+            fmin, fmax = st["mins"][key], st["maxs"][key]
             if lo is not None and fmax < lo:
                 continue
             if hi is not None and fmin > hi:

@@ -473,3 +473,134 @@ def test_read_changes_incremental_scan(spark, tmp_path):
     # loudly instead of returning wrong rows (same rule as read())
     with pytest.raises(SnapshotExpired):
         log.read_changes(spark, v1, v2).collect()
+
+
+def test_evolve_rename_reads_every_vintage(spark, tmp_path):
+    """Rename is a metadata-only commit (zero files touched): files
+    written BEFORE the rename resolve through the name mapping, files
+    written AFTER carry the new name physically, and one read unifies
+    both vintages.  Time travel to the pre-rename version is unaffected."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    v0 = log.commit("overwrite")
+    files_v0 = log.snapshot(v0)["files"]
+
+    v1 = log.evolve(renames={"val": "label"})
+    assert log.snapshot(v1)["files"] == files_v0  # no data file touched
+    assert log.read(spark, v1).columns == ["id", "label"]
+
+    _write(spark, d, [(2, "b")], mode="append", schema="id long, label string")
+    v2 = log.commit("append")
+    got = {r.id: r.label for r in log.read(spark, v2).collect()}
+    assert got == {1: "a", 2: "b"}
+    # pre-rename version still reads with its own schema
+    assert log.read(spark, v0).columns == ["id", "val"]
+    # incremental scan across the evolve: just the appended rows, under
+    # the evolved schema
+    assert [(r.id, r.label) for r in log.read_changes(spark, v0).collect()] == [(2, "b")]
+
+
+def test_evolve_rename_chain_and_name_reuse_guards(spark, tmp_path):
+    """A twice-renamed column coalesces over all its physical
+    generations; commits that would re-introduce a still-aliased
+    physical name refuse (name-mapped resolution would be ambiguous)."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    log.commit("overwrite")
+    log.evolve(renames={"val": "v_mid"})
+    _write(spark, d, [(2, "b")], mode="append", schema="id long, v_mid string")
+    log.commit("append")
+    log.evolve(renames={"v_mid": "v_new"})
+    _write(spark, d, [(3, "c")], mode="append", schema="id long, v_new string")
+    log.commit("append")
+
+    m = log.snapshot()
+    assert m["aliases"] == {"v_new": ["v_mid", "val"]}
+    got = {r.id: r.v_new for r in log.read(spark).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+    # appending a file whose column name is an aliased physical name
+    # refuses BEFORE publishing a manifest
+    latest = log.latest_version()
+    _write(spark, d, [(9, "z")], mode="append", schema="id long, val string")
+    with pytest.raises(ValueError, match="ambiguous"):
+        log.commit("append")
+    assert log.latest_version() == latest
+    # renaming another column ONTO an aliased name refuses too
+    with pytest.raises(ValueError, match="ambiguous"):
+        log.evolve(renames={"id": "val"})
+
+
+def test_evolve_drop_tombstones_block_resurrection(spark, tmp_path):
+    """A dropped column vanishes from reads (historical files keep the
+    bytes; the read schema prunes them), and its name is tombstoned so
+    a later append cannot silently resurrect the old values."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    v0 = log.commit("overwrite")
+    v1 = log.evolve(drops=["val"])
+
+    assert log.read(spark, v1).columns == ["id"]
+    assert log.read(spark, v0).columns == ["id", "val"]  # time travel keeps it
+    assert log.snapshot(v1)["tombstones"] == ["val"]
+
+    _write(spark, d, [(2, "a2")], mode="append", schema="id long, val string")
+    with pytest.raises(ValueError, match="tombstone"):
+        log.commit("append")
+    with pytest.raises(ValueError, match="ambiguous"):
+        log.evolve(renames={"id": "val"})
+
+
+def test_evolve_validation_errors(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    log.commit("overwrite")
+    with pytest.raises(ValueError, match="nothing to do"):
+        log.evolve()
+    with pytest.raises(ValueError, match="no such column"):
+        log.evolve(renames={"nope": "x"})
+    with pytest.raises(ValueError, match="no such column"):
+        log.evolve(drops=["nope"])
+    with pytest.raises(ValueError, match="renamed and dropped"):
+        log.evolve(renames={"val": "x"}, drops=["val"])
+    with pytest.raises(ValueError, match="duplicate"):
+        log.evolve(renames={"val": "id"})
+
+
+def test_evolve_prune_uses_physical_footer_stats(spark, tmp_path):
+    """File skipping still works on a renamed column: the footers of
+    pre-rename files record the PHYSICAL name — prune() resolves the
+    logical column through the mapping and skips by those bounds."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a"), (2, "b")])
+    log = SnapshotLog(d)
+    log.commit("overwrite")
+    _write(spark, d, [(10, "x"), (11, "y")], mode="append")
+    log.commit("append")
+    log.evolve(renames={"id": "doc_id"})
+
+    pruned = log.prune(spark, "doc_id", lo=10)
+    assert sorted(r.doc_id for r in pruned.collect()) == [10, 11]
+    assert len(pruned.inputFiles()) < len(log.snapshot()["files"])
+    # and the residual predicate still applies when bounds overlap
+    assert sorted(r.doc_id for r in log.prune(spark, "doc_id", lo=2, hi=10).collect()) == [2, 10]
+
+
+def test_rollback_commit_remaps_physical_schema(spark, tmp_path):
+    """A WAL-style rollback commit derives its schema from raw footers;
+    under a name mapping those carry PHYSICAL names — the commit remaps
+    them to logical names so the published manifest stays consistent."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    v0 = log.commit("overwrite")
+    restored = log.snapshot(v0)["files"]
+    log.evolve(renames={"val": "label"})
+
+    v2 = log.commit("rollback", files=restored)
+    assert log.read(spark, v2).columns == ["id", "label"]
+    assert {r.label for r in log.read(spark, v2).collect()} == {"a"}
