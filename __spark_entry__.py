@@ -1178,6 +1178,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snapshot_prune"] = snapshot_prune
 
+    def snapshot_evolve(spark, sf):
+        """Name-mapped schema evolution as a contract row (round-5
+        table-format layer, snapshots.py): commit the even doc_id half
+        of ``documents`` as v0 under the ORIGINAL column names, evolve
+        ``rename n_chars->len_chars, drop lang`` (a metadata-only commit
+        — zero data files touched, asserted), parquet-append the odd
+        half already carrying the NEW name, and read the latest version
+        — ONE scan that resolves the pre-rename vintage through the
+        name mapping and the post-rename vintage natively.  The result
+        is exactly ``SELECT doc_id, n_chars AS len_chars`` over all
+        documents — the DuckDB twin — so the hash gate proves the
+        mapped read loses, duplicates, and mislabels nothing across
+        vintages, and time travel to v0 still sees the old schema."""
+        import shutil
+        import tempfile
+
+        from nilinker_spark.snapshots import SnapshotLog
+
+        docs = _docs(spark, sf).select("doc_id", "lang", "n_chars")
+        tmp = tempfile.mkdtemp(prefix="snap_evolve_")
+        try:
+            d = os.path.join(tmp, "docs")
+            log = SnapshotLog(d)
+            docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(d)
+            v0 = log.commit("overwrite")
+            files_v0 = log.snapshot(v0)["files"]
+            v1 = log.evolve(renames={"n_chars": "len_chars"}, drops=["lang"])
+            if log.snapshot(v1)["files"] != files_v0:
+                raise RuntimeError("snapshot_evolve: evolve touched data files")
+            docs.filter(F.col("doc_id") % 2 == 1).select(
+                "doc_id", F.col("n_chars").alias("len_chars")
+            ).write.mode("append").parquet(d)
+            log.commit("append")
+            if log.read(spark, v0).columns != ["doc_id", "lang", "n_chars"]:
+                raise RuntimeError("snapshot_evolve: time travel lost the v0 schema")
+            # the table dir is temporary: materialize before cleanup
+            return _materialize(spark, log.read(spark))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    q["snapshot_evolve"] = snapshot_evolve
+
     # Driver-coverage rotation (VERDICT r4 #2): the driver checks the
     # FIRST ~50 dict entries per round (CORRECTNESS_r04 carried exactly
     # positions 0-49), so rows the driver has not yet evidenced LEAD and
@@ -1194,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pairwise_f1",
         "ann_topk_ivf_trained",
         "snapshot_prune",
+        "snapshot_evolve",
         "decontaminate",
         "importance_resample",
         "pack_sequences",
@@ -1643,6 +1686,7 @@ def oracle_sql() -> dict[str, str]:
         "select doc_id, lang, n_chars from documents "
         "where doc_id between 100 and 349"
     )
+    o["snapshot_evolve"] = "select doc_id, n_chars as len_chars from documents"
     o["text_quality"] = (
         "with base as (select doc_id, text, string_split(text, ' ') as toks from documents), "
         "m as (select doc_id, text, len(toks) as n, "
