@@ -408,28 +408,46 @@ class SnapshotLog:
             )
         return schema_json
 
+    # value-preserving widenings only (the Iceberg type-promotion set):
+    # Spark 4's parquet readers upcast these natively under an explicit
+    # schema (SPARK-40876), so promotion too is metadata-only
+    _WIDEN_OK = {
+        "byte": {"short", "integer", "long"},
+        "short": {"integer", "long"},
+        "integer": {"long"},
+        "float": {"double"},
+    }
+
     def evolve(
         self,
         renames: dict[str, str] | None = None,
         drops: list[str] | None = None,
+        promotes: dict[str, str] | None = None,
     ) -> int:
-        """Metadata-only schema evolution: rename and/or drop columns
-        without touching a single data file (Iceberg ``ALTER TABLE`` on
-        a 100 TB table is exactly this — a new schema + name mapping in
-        the log).  Returns the committed version.
+        """Metadata-only schema evolution: rename, drop, and/or
+        type-promote columns without touching a single data file
+        (Iceberg ``ALTER TABLE`` on a 100 TB table is exactly this — a
+        new schema + name mapping in the log).  Returns the committed
+        version.
 
         Renames record the old name as a physical ALIAS of the new
-        logical name; drops TOMBSTONE the name (and its aliases).  Reads
-        of this and later versions resolve every file vintage through
-        the mapping in one scan; earlier versions still read with their
-        own schema (time travel is unaffected).  Conflicting concurrent
-        commits surface as :class:`SnapshotConflict` via the derived-from
-        guard — evolve never auto-retries (it does not commute with
-        writes the way appends do)."""
+        logical name; drops TOMBSTONE the name (and its aliases);
+        promotes widen a column's type within the value-preserving
+        Iceberg set (``_WIDEN_OK`` — narrowing refuses).  Reads of this
+        and later versions resolve every file vintage through the
+        mapping in one scan (old-vintage footers upcast under the
+        explicit schema); earlier versions still read with their own
+        schema (time travel is unaffected).  ``renames``/``drops``/
+        ``promotes`` all key on the PARENT version's column names; a
+        column may be promoted and renamed in one commit.  Conflicting
+        concurrent commits surface as :class:`SnapshotConflict` via the
+        derived-from guard — evolve never auto-retries (it does not
+        commute with writes the way appends do)."""
         renames = dict(renames or {})
         drops = list(drops or [])
-        if not renames and not drops:
-            raise ValueError("evolve: nothing to do (no renames, no drops)")
+        promotes = dict(promotes or {})
+        if not renames and not drops and not promotes:
+            raise ValueError("evolve: nothing to do (no renames, drops, or promotes)")
         parent = self.latest_version()
         if parent is None:
             raise FileNotFoundError(f"no snapshots to evolve at {self.log_dir}")
@@ -440,16 +458,18 @@ class SnapshotLog:
         names = [f.name for f in schema.fields]
         aliases = {k: list(v) for k, v in (pm.get("aliases") or {}).items()}
         tombstones = list(pm.get("tombstones") or [])
-        missing = [c for c in list(renames) + drops if c not in names]
+        missing = [c for c in list(renames) + drops + list(promotes) if c not in names]
         if missing:
             raise ValueError(f"evolve: no such column(s) {missing} in {names}")
-        overlap = [c for c in renames if c in drops]
+        overlap = [c for c in list(renames) + list(promotes) if c in drops]
         if overlap:
-            raise ValueError(f"evolve: column(s) {overlap} both renamed and dropped")
+            raise ValueError(f"evolve: column(s) {overlap} both dropped and renamed/promoted")
         final = [renames.get(n, n) for n in names if n not in drops]
         dup = sorted({n for n in final if final.count(n) > 1})
         if dup:
             raise ValueError(f"evolve: resulting schema has duplicate column(s) {dup}")
+        from pyspark.sql.types import _parse_datatype_string
+
         fields = []
         for f in schema.fields:
             if f.name in drops:
@@ -457,6 +477,16 @@ class SnapshotLog:
                 # it must never resolve again
                 tombstones += [f.name] + aliases.pop(f.name, [])
                 continue
+            if f.name in promotes:
+                target = _parse_datatype_string(promotes[f.name])
+                cur = f.dataType.typeName()
+                if target.typeName() not in self._WIDEN_OK.get(cur, set()):
+                    raise ValueError(
+                        f"evolve: cannot promote {f.name!r} {cur} -> "
+                        f"{target.typeName()} (value-preserving widenings "
+                        f"only: {self._WIDEN_OK})"
+                    )
+                f = type(f)(f.name, target, f.nullable, f.metadata)
             if f.name in renames:
                 new = renames[f.name]
                 aliases[new] = aliases.pop(f.name, []) + [f.name]

@@ -565,10 +565,16 @@ def test_evolve_validation_errors(spark, tmp_path):
         log.evolve(renames={"nope": "x"})
     with pytest.raises(ValueError, match="no such column"):
         log.evolve(drops=["nope"])
-    with pytest.raises(ValueError, match="renamed and dropped"):
+    with pytest.raises(ValueError, match="dropped and renamed/promoted"):
         log.evolve(renames={"val": "x"}, drops=["val"])
     with pytest.raises(ValueError, match="duplicate"):
         log.evolve(renames={"val": "id"})
+    with pytest.raises(ValueError, match="no such column"):
+        log.evolve(promotes={"nope": "long"})
+    with pytest.raises(ValueError, match="cannot promote"):
+        log.evolve(promotes={"id": "short"})  # narrowing refuses
+    with pytest.raises(ValueError, match="cannot promote"):
+        log.evolve(promotes={"val": "long"})  # string has no widening
 
 
 def test_evolve_prune_uses_physical_footer_stats(spark, tmp_path):
@@ -604,3 +610,54 @@ def test_rollback_commit_remaps_physical_schema(spark, tmp_path):
     v2 = log.commit("rollback", files=restored)
     assert log.read(spark, v2).columns == ["id", "label"]
     assert {r.label for r in log.read(spark, v2).collect()} == {"a"}
+
+
+def test_evolve_type_promotion(spark, tmp_path):
+    """Widening promotion is metadata-only: old int32/float32 vintages
+    upcast under the explicit schema (Spark 4 parquet widening reads),
+    appends land natively wide, narrowing refuses."""
+    d = str(tmp_path / "t")
+    spark.createDataFrame([(1, 1.5)], "id int, score float").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    log = SnapshotLog(d)
+    v0 = log.commit("overwrite")
+    files_v0 = log.snapshot(v0)["files"]
+
+    v1 = log.evolve(promotes={"id": "long", "score": "double"})
+    assert log.snapshot(v1)["files"] == files_v0  # no data file touched
+    spark.createDataFrame([(2**40, 2.5)], "id long, score double").coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    log.commit("append")
+
+    got = log.read(spark)
+    assert got.schema.simpleString() == "struct<id:bigint,score:double>"
+    assert sorted((r.id, r.score) for r in got.collect()) == [(1, 1.5), (2**40, 2.5)]
+    # time travel reads v0 with its own narrow types
+    assert log.read(spark, v0).schema.simpleString() == "struct<id:int,score:float>"
+
+    with pytest.raises(ValueError, match="value-preserving"):
+        log.evolve(promotes={"score": "float"})  # narrowing (double->float)
+    with pytest.raises(ValueError, match="value-preserving"):
+        log.evolve(promotes={"id": "string"})  # not a widening at all
+
+
+def test_evolve_promote_and_rename_same_column(spark, tmp_path):
+    """Promote + rename compose in one commit; the mapped read upcasts
+    the old vintage AND resolves it through the alias."""
+    d = str(tmp_path / "t")
+    spark.createDataFrame([(1, 10)], "id long, n int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    log = SnapshotLog(d)
+    log.commit("overwrite")
+    log.evolve(renames={"n": "count"}, promotes={"n": "long"})
+    spark.createDataFrame([(2, 2**40)], "id long, count long").coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    log.commit("append")
+
+    got = log.read(spark)
+    assert got.schema.simpleString() == "struct<id:bigint,count:bigint>"
+    assert sorted((r.id, r["count"]) for r in got.collect()) == [(1, 10), (2, 2**40)]
