@@ -1181,22 +1181,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def snapshot_evolve(spark, sf):
         """Name-mapped schema evolution as a contract row (round-5
         table-format layer, snapshots.py): commit the even doc_id half
-        of ``documents`` as v0 under the ORIGINAL column names, evolve
-        ``rename n_chars->len_chars, drop lang`` (a metadata-only commit
-        — zero data files touched, asserted), parquet-append the odd
-        half already carrying the NEW name, and read the latest version
-        — ONE scan that resolves the pre-rename vintage through the
-        name mapping and the post-rename vintage natively.  The result
-        is exactly ``SELECT doc_id, n_chars AS len_chars`` over all
+        of ``documents`` as v0 under the ORIGINAL column names with
+        ``n_chars`` deliberately narrowed to int32, evolve ``rename
+        n_chars->len_chars + promote int->long, drop lang`` (ONE
+        metadata-only commit — zero data files touched, asserted),
+        parquet-append the odd half already carrying the NEW name at
+        the NEW width, and read the latest version — ONE scan that
+        resolves the pre-evolution vintage through the name mapping and
+        upcasts its int32 footers under the explicit long schema, and
+        reads the post-evolution vintage natively.  The result is
+        exactly ``SELECT doc_id, n_chars AS len_chars`` over all
         documents — the DuckDB twin — so the hash gate proves the
-        mapped read loses, duplicates, and mislabels nothing across
-        vintages, and time travel to v0 still sees the old schema."""
+        mapped+promoted read loses, duplicates, and mislabels nothing
+        across vintages, and time travel to v0 still sees the old
+        schema."""
         import shutil
         import tempfile
 
         from nilinker_spark.snapshots import SnapshotLog
 
-        docs = _docs(spark, sf).select("doc_id", "lang", "n_chars")
+        docs = _docs(spark, sf).select(
+            "doc_id", "lang", F.col("n_chars").cast("int").alias("n_chars")
+        )
         tmp = tempfile.mkdtemp(prefix="snap_evolve_")
         try:
             d = os.path.join(tmp, "docs")
@@ -1204,15 +1210,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(d)
             v0 = log.commit("overwrite")
             files_v0 = log.snapshot(v0)["files"]
-            v1 = log.evolve(renames={"n_chars": "len_chars"}, drops=["lang"])
+            v1 = log.evolve(
+                renames={"n_chars": "len_chars"},
+                drops=["lang"],
+                promotes={"n_chars": "long"},
+            )
             if log.snapshot(v1)["files"] != files_v0:
                 raise RuntimeError("snapshot_evolve: evolve touched data files")
             docs.filter(F.col("doc_id") % 2 == 1).select(
-                "doc_id", F.col("n_chars").alias("len_chars")
+                "doc_id", F.col("n_chars").cast("long").alias("len_chars")
             ).write.mode("append").parquet(d)
             log.commit("append")
             if log.read(spark, v0).columns != ["doc_id", "lang", "n_chars"]:
                 raise RuntimeError("snapshot_evolve: time travel lost the v0 schema")
+            if dict(log.read(spark).dtypes)["len_chars"] != "bigint":
+                raise RuntimeError("snapshot_evolve: promotion lost the long type")
             # the table dir is temporary: materialize before cleanup
             return _materialize(spark, log.read(spark))
         finally:
