@@ -71,10 +71,12 @@ documented in README.md's Iceberg swap table.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -83,6 +85,102 @@ from pyspark.sql.types import StructType
 _SNAP_SUFFIX = "__snaplog"
 _V_WIDTH = 12  # v000000000001.json — lexicographic == numeric order
 _TAG_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]*")
+
+# --- hidden partitioning (Iceberg partition transforms) ---------------------
+#
+# A partition spec is a list of {"column", "transform", "n"?} over SOURCE
+# columns; writers derive the partition value (the user never materializes
+# or filters on a layout column — that is the "hidden" in hidden
+# partitioning), and each data file's partition tuple is recorded in its
+# RELATIVE PATH, the flat-filesystem stand-in for the per-file partition
+# tuple an Iceberg manifest entry carries.  Because the path encodes the
+# transform itself (`_p_bucket8__doc_id=3/part-…`), every file is
+# self-describing: after PARTITION EVOLUTION old files keep pruning under
+# the spec they were written with and new files under the new one, with no
+# spec-id bookkeeping — exactly Iceberg's per-manifest spec semantics.
+_TRANSFORMS = ("identity", "bucket", "truncate", "days")
+_PART_COL_RE = re.compile(r"^_p_(identity|days|bucket(\d+)|truncate(\d+))__(.+)$")
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _validate_spec(spec: list[dict]) -> list[dict]:
+    out = []
+    for f in spec or []:
+        col, t, n = f.get("column"), f.get("transform"), f.get("n")
+        if not col or t not in _TRANSFORMS:
+            raise ValueError(
+                f"partition spec field {f!r}: need column + transform in {_TRANSFORMS}"
+            )
+        if t in ("bucket", "truncate"):
+            if not isinstance(n, int) or n < 1:
+                raise ValueError(f"partition transform {t!r} needs integer n >= 1, got {n!r}")
+            out.append({"column": col, "transform": t, "n": n})
+        else:
+            out.append({"column": col, "transform": t})
+    return out
+
+
+def _part_col_name(field: dict) -> str:
+    return f"_p_{field['transform']}{field.get('n', '')}__{field['column']}"
+
+
+def _transform_expr(field: dict, dtype: str):
+    """Spark Column computing the partition value — the writer-side twin
+    of :func:`_transform_value` (md5-derived bucket keys per the repo's
+    determinism rule: never partitioner state)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(field["column"])
+    t = field["transform"]
+    if t == "identity":
+        return c
+    if t == "bucket":
+        return F.pmod(
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long"),
+            F.lit(field["n"]),
+        )
+    if t == "truncate":
+        if dtype in ("tinyint", "smallint", "int", "bigint"):
+            return c - F.pmod(c, F.lit(field["n"]))
+        return F.substring(c, 1, field["n"])
+    # days: session timezone is pinned UTC (config.get_spark), so the
+    # rendered date is deterministic for timestamp columns too
+    return F.date_format(c, "yyyy-MM-dd")
+
+
+def _transform_value(field: dict, v) -> str | None:
+    """Driver-side scalar twin of :func:`_transform_expr`, rendered the
+    way Spark prints the value into a partition path — used to prune a
+    file by equality on the SOURCE column without opening it."""
+    if v is None:
+        return None
+    t = field["transform"]
+    if t == "identity":
+        return str(v)
+    if t == "bucket":
+        return str(int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) % field["n"])
+    if t == "truncate":
+        if isinstance(v, int) and not isinstance(v, bool):
+            return str(v - (v % field["n"]))
+        return str(v)[: field["n"]]
+    return str(v)[:10]  # days: ISO prefix of a date/timestamp rendering
+
+
+def _file_partition_tuple(relpath: str) -> dict[str, tuple[dict, str]]:
+    """{source_column: (spec_field, path_value)} parsed from a data
+    file's relative path — empty for flat (unpartitioned) files."""
+    out: dict[str, tuple[dict, str]] = {}
+    for comp in relpath.split("/")[:-1]:
+        name, sep, raw = comp.partition("=")
+        m = _PART_COL_RE.match(name) if sep else None
+        if not m:
+            continue
+        tname, bn, tn, col = m.groups()
+        field = {"column": col, "transform": re.sub(r"\d+$", "", tname)}
+        if bn or tn:
+            field["n"] = int(bn or tn)
+        out[col] = (field, urllib.parse.unquote(raw))
+    return out
 
 
 class SnapshotConflict(RuntimeError):
@@ -122,10 +220,19 @@ def _json_safe(v):
 
 
 def list_data_files(table_dir: str) -> list[str]:
-    """Sorted relative part-file names currently in the table directory."""
+    """Sorted relative part-file paths currently in the table directory
+    — recursive, so partitioned layouts (``_p_…=v/part-…``) list with
+    their tuple-bearing relative path; flat tables are unchanged."""
     if not os.path.isdir(table_dir):
         return []
-    return sorted(n for n in os.listdir(table_dir) if _is_data_file(n))
+    out = []
+    for root, dirs, files in os.walk(table_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(".") and not d.endswith(_SNAP_SUFFIX)]
+        rel = os.path.relpath(root, table_dir)
+        for n in files:
+            if _is_data_file(n):
+                out.append(n if rel == "." else f"{rel}/{n}")
+    return sorted(out)
 
 
 class SnapshotLog:
@@ -246,6 +353,7 @@ class SnapshotLog:
         _schema: str | None = None,
         _aliases: dict[str, list[str]] | None = None,
         _tombstones: list[str] | None = None,
+        _partition_spec: list[dict] | None = None,
     ) -> int:
         """Publish the given (or current) file set as the next version.
 
@@ -290,15 +398,21 @@ class SnapshotLog:
         # parent's mapping forward (metadata describes the table, not a
         # batch); overwrite/compact physically rewrite every file under
         # the CURRENT logical names, so the mapping resets to identity.
+        pm_parent = self.snapshot(latest) if latest is not None else {}
         if _aliases is not None or _tombstones is not None:
             aliases = dict(_aliases or {})
             tombstones = list(_tombstones or [])
         elif operation in ("append", "rollback") and latest is not None:
-            pm = self.snapshot(latest)
-            aliases = dict(pm.get("aliases") or {})
-            tombstones = list(pm.get("tombstones") or [])
+            aliases = dict(pm_parent.get("aliases") or {})
+            tombstones = list(pm_parent.get("tombstones") or [])
         else:
             aliases, tombstones = {}, []
+        # the partition spec is table-level layout intent: it survives
+        # EVERY operation (an overwrite is rewritten under it, not freed
+        # from it) until set_partition_spec commits a new one
+        pspec = _partition_spec if _partition_spec is not None else (
+            pm_parent.get("partition_spec") or []
+        )
         schema_json = self._check_mapping(operation, schema_json, aliases, tombstones)
         manifest = {
             "version": version,
@@ -319,6 +433,8 @@ class SnapshotLog:
             manifest["aliases"] = {k: sorted(v) for k, v in sorted(aliases.items())}
         if tombstones:
             manifest["tombstones"] = sorted(set(tombstones))
+        if pspec:
+            manifest["partition_spec"] = pspec
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -502,6 +618,114 @@ class SnapshotLog:
             _aliases=aliases,
             _tombstones=tombstones,
         )
+
+    # --- hidden partitioning -------------------------------------------------
+    def partition_spec(self, version: int | None = None) -> list[dict]:
+        """The partition spec in force at ``version`` (default latest);
+        ``[]`` for an unpartitioned table or an empty log."""
+        if version is None and self.latest_version() is None:
+            return []
+        return list(self.snapshot(version).get("partition_spec") or [])
+
+    def set_partition_spec(self, spec: list[dict]) -> int:
+        """Declare (or EVOLVE) the table's hidden-partitioning spec as a
+        metadata-only commit — zero data files touched or moved.  Fields
+        are ``{"column", "transform": identity|bucket|truncate|days,
+        "n"?}`` over SOURCE columns; pass ``[]`` to unpartition future
+        writes.  Existing files are untouched and keep pruning under the
+        spec they were written with (their paths are self-describing),
+        which is exactly Iceberg partition-spec evolution.  Allowed on
+        an empty log (declare layout before the first write)."""
+        spec = _validate_spec(spec)
+        parent = self.latest_version()
+        if parent is None:
+            return self.commit("evolve", files=[], _partition_spec=spec)
+        pm = self.snapshot(parent)
+        return self.commit(
+            "evolve",
+            files=pm["files"],
+            expect_latest=parent,
+            _schema=pm.get("schema"),
+            _aliases=dict(pm.get("aliases") or {}),
+            _tombstones=list(pm.get("tombstones") or []),
+            _partition_spec=spec,
+        )
+
+    def write_partitioned(self, df: DataFrame, mode: str = "append") -> None:
+        """Write ``df`` clustered by the current spec's derived partition
+        values.  The derived columns are layout-only: ``partitionBy``
+        encodes them in the file PATHS (the per-file partition tuple),
+        the data files carry the untouched source columns, and reads
+        resolve leaf files directly so the layout columns never appear
+        in any schema — hidden partitioning.  The ``repartition`` on the
+        derived tuple gives one file per tuple per write (the clustered
+        write real table formats ask of engines; production writers
+        would use a range/hash distribution mode to also bound file
+        size).  Commit separately (``commit``/``commit_append``) — a
+        crashed write publishes nothing."""
+        spec = self.partition_spec()
+        if not spec:
+            raise ValueError(
+                f"{self.table_dir}: no partition spec in force — "
+                "set_partition_spec first (or write plain parquet)"
+            )
+        dtypes = dict(df.dtypes)
+        missing = [f["column"] for f in spec if f["column"] not in dtypes]
+        if missing:
+            raise ValueError(f"partition spec column(s) {missing} not in {sorted(dtypes)}")
+        from pyspark.sql import functions as F
+
+        pcols = []
+        for f in spec:
+            name = _part_col_name(f)
+            df = df.withColumn(name, _transform_expr(f, dtypes[f["column"]]))
+            pcols.append(name)
+        (
+            df.repartition(*[F.col(c) for c in pcols])
+            .write.partitionBy(*pcols)
+            .mode(mode)
+            .parquet(self.table_dir)
+        )
+
+    def prune_partition(
+        self,
+        spark: SparkSession,
+        predicates: dict,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Equality scan with partition pruning: semantically identical
+        to ``read(...).filter(col == v for each predicate)`` but a file
+        is never opened when its path-encoded partition tuple PROVES the
+        predicate cannot match — e.g. ``{"doc_id": 42}`` opens only the
+        files in ``doc_id``'s md5-bucket, which footer min/max range
+        stats (:meth:`prune`) cannot do.  Each file prunes under the
+        spec it was written with (paths are self-describing), so a scan
+        spanning a partition evolution is still correct: old-spec files
+        prune by the old tuple, files without a tuple for the column are
+        conservatively scanned, and the residual filter always applies.
+        Null-partition files are skipped — an equality predicate never
+        matches NULL."""
+        from pyspark.sql import functions as F
+
+        m = self.snapshot(version)
+        selected = []
+        for fpath in m["files"]:
+            parts = _file_partition_tuple(fpath)
+            keep = True
+            for col, val in predicates.items():
+                got = parts.get(col)
+                if got is None:
+                    continue  # no tuple for this column: must scan
+                field, path_value = got
+                if path_value == _HIVE_NULL or _transform_value(field, val) != path_value:
+                    keep = False
+                    break
+            if keep:
+                selected.append(fpath)
+        df = self._read_files(spark, m, sorted(selected))
+        for col, val in predicates.items():
+            df = df.filter(F.col(col) == F.lit(val))
+        return df
 
     def _file_stats(self, files: list[str], parent: int | None) -> dict:
         """{file: {rows, bytes, mins, maxs}} from parquet footers.

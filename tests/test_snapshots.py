@@ -661,3 +661,167 @@ def test_evolve_promote_and_rename_same_column(spark, tmp_path):
     got = log.read(spark)
     assert got.schema.simpleString() == "struct<id:bigint,count:bigint>"
     assert sorted((r.id, r["count"]) for r in got.collect()) == [(1, 10), (2, 2**40)]
+
+
+# --- hidden partitioning + partition evolution ------------------------------
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "id long, lang string, n long")
+
+
+def test_partitioned_write_hides_layout_and_prunes(spark, tmp_path):
+    """Writers derive the partition values, readers never see them, and
+    an equality predicate on a SOURCE column opens only the matching
+    tuple's files."""
+    from nilinker_spark.snapshots import _transform_value
+
+    d = str(tmp_path / "t")
+    log = SnapshotLog(d)
+    log.set_partition_spec(
+        [
+            {"column": "lang", "transform": "identity"},
+            {"column": "id", "transform": "bucket", "n": 4},
+        ]
+    )
+    rows = [(i, "en" if i % 3 else "de", i * 10) for i in range(40)]
+    log.write_partitioned(_pdf(spark, rows), mode="overwrite")
+    log.commit("overwrite")
+
+    # hidden: the table schema carries ONLY source columns
+    assert sorted(log.read(spark).columns) == ["id", "lang", "n"]
+    total = len(log.snapshot()["files"])
+    assert total > 2  # multiple tuples -> multiple files
+
+    got = log.prune_partition(spark, {"lang": "de", "id": 9})
+    assert [(r.id, r.lang, r.n) for r in got.collect()] == [(9, "de", 90)]
+    opened = got.inputFiles()
+    assert 0 < len(opened) < total
+    # every opened file sits in id=9's md5 bucket AND lang=de
+    b = _transform_value({"column": "id", "transform": "bucket", "n": 4}, 9)
+    assert all(f"_p_bucket4__id={b}" in f and "_p_identity__lang=de" in f for f in opened)
+
+    # pruning is an optimization, never a semantics change
+    full = log.read(spark).filter("lang = 'de' and id = 9").collect()
+    assert [(r.id, r.lang, r.n) for r in full] == [(9, "de", 90)]
+
+
+def test_transform_spark_python_parity(spark, tmp_path):
+    """The writer-side Spark expressions and the driver-side scalar
+    twins agree on every transform — pruning decisions match the layout
+    the writer produced."""
+    from pyspark.sql import functions as F
+
+    from nilinker_spark.snapshots import _transform_expr, _transform_value
+
+    df = spark.createDataFrame(
+        [(7, "wiki-en", "2026-03-05"), (123456, "cc-main", "1999-12-31"), (-5, "x", "2000-01-01")],
+        "id long, src string, day string",
+    ).withColumn("day", F.col("day").cast("date"))
+    cases = [
+        ({"column": "id", "transform": "bucket", "n": 8}, "bigint", "id"),
+        ({"column": "id", "transform": "truncate", "n": 100}, "bigint", "id"),
+        ({"column": "src", "transform": "truncate", "n": 4}, "string", "src"),
+        ({"column": "src", "transform": "identity"}, "string", "src"),
+        ({"column": "day", "transform": "days"}, "date", "day"),
+    ]
+    rows = df.select(
+        "id",
+        "src",
+        "day",
+        *[_transform_expr(f, dt).cast("string").alias(f"t{i}") for i, (f, dt, _) in enumerate(cases)],
+    ).collect()
+    import datetime
+
+    for r in rows:
+        for i, (f, _, src_col) in enumerate(cases):
+            v = r[src_col]
+            assert _transform_value(f, v) == r[f"t{i}"], (f, v, r[f"t{i}"])
+
+
+def test_partition_evolution_mixed_vintages(spark, tmp_path):
+    """set_partition_spec is metadata-only: old files keep pruning under
+    the spec they were written with, new files under the new one, and a
+    scan across both vintages is exact."""
+    d = str(tmp_path / "t")
+    log = SnapshotLog(d)
+    log.set_partition_spec([{"column": "lang", "transform": "identity"}])
+    log.write_partitioned(_pdf(spark, [(i, "en" if i % 2 else "de", i) for i in range(10)]))
+    v1 = log.commit("append")
+    files_v1 = set(log.snapshot(v1)["files"])
+
+    v2 = log.set_partition_spec(
+        [
+            {"column": "lang", "transform": "identity"},
+            {"column": "id", "transform": "bucket", "n": 2},
+        ]
+    )
+    assert set(log.snapshot(v2)["files"]) == files_v1  # zero data files touched
+    log.write_partitioned(_pdf(spark, [(i, "en" if i % 2 else "de", i) for i in range(10, 20)]))
+    log.commit("append")
+
+    got = log.prune_partition(spark, {"lang": "en", "id": 15})
+    assert [(r.id, r.n) for r in got.collect()] == [(15, 15)]
+    opened = got.inputFiles()
+    # the en files of BOTH vintages minus the wrong-bucket new files: the
+    # old-vintage en file has no id tuple (conservative scan), the new
+    # vintage prunes to one bucket
+    assert all("_p_identity__lang=en" in f for f in opened)
+    new_opened = [f for f in opened if "_p_bucket2__id=" in f]
+    assert len(new_opened) == 1
+
+    # unpartition future writes; spec history stays per-version
+    v4 = log.set_partition_spec([])
+    assert log.partition_spec(v4) == []
+    assert log.partition_spec(v2) != []
+    with pytest.raises(ValueError, match="no partition spec"):
+        log.write_partitioned(_pdf(spark, [(99, "en", 0)]))
+
+
+def test_partition_null_values_skip_equality(spark, tmp_path):
+    """NULL source values land in the hive default partition; equality
+    pruning skips them (a predicate never matches NULL) and the result
+    still matches the unpruned filter."""
+    d = str(tmp_path / "t")
+    log = SnapshotLog(d)
+    log.set_partition_spec([{"column": "lang", "transform": "identity"}])
+    log.write_partitioned(
+        spark.createDataFrame([(1, "en", 1), (2, None, 2), (3, "de", 3)], "id long, lang string, n long")
+    )
+    log.commit("append")
+    got = log.prune_partition(spark, {"lang": "en"})
+    assert [(r.id, r.lang) for r in got.collect()] == [(1, "en")]
+    assert all("__HIVE_DEFAULT_PARTITION__" not in f for f in got.inputFiles())
+
+
+def test_partition_spec_validation(spark, tmp_path):
+    d = str(tmp_path / "t")
+    log = SnapshotLog(d)
+    with pytest.raises(ValueError, match="transform"):
+        log.set_partition_spec([{"column": "id", "transform": "hash"}])
+    with pytest.raises(ValueError, match="n >= 1"):
+        log.set_partition_spec([{"column": "id", "transform": "bucket"}])
+    log.set_partition_spec([{"column": "nope", "transform": "identity"}])
+    with pytest.raises(ValueError, match="not in"):
+        log.write_partitioned(_pdf(spark, [(1, "en", 1)]))
+
+
+def test_partitioned_vacuum_and_time_travel(spark, tmp_path):
+    """Partitioned layouts compose with the rest of the log: appends
+    keep history readable, vacuum removes only unreferenced files in
+    their subdirectories."""
+    d = str(tmp_path / "t")
+    log = SnapshotLog(d)
+    log.set_partition_spec([{"column": "lang", "transform": "identity"}])
+    log.write_partitioned(_pdf(spark, [(1, "en", 1)]))
+    v1 = log.commit("append")
+    log.write_partitioned(_pdf(spark, [(2, "de", 2)]))
+    v2 = log.commit("append")
+    assert {r.id for r in log.read(spark, v1).collect()} == {1}
+    assert {r.id for r in log.read(spark, v2).collect()} == {1, 2}
+    # overwrite drops the old files; vacuum reclaims them from subdirs
+    log.write_partitioned(_pdf(spark, [(3, "fr", 3)]), mode="overwrite")
+    log.commit("overwrite")
+    deleted = log.vacuum(retain_last=1)
+    assert deleted == []  # overwrite already removed them physically
+    assert {r.id for r in log.read(spark).collect()} == {3}
