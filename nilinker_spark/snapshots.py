@@ -256,9 +256,14 @@ class SnapshotLog:
                     continue
         return sorted(out)
 
-    def latest_version(self) -> int | None:
-        vs = self.versions()
-        return vs[-1] if vs else None
+    def latest_version(self, branch: str | None = None) -> int | None:
+        """Head of a ref: the newest TRUNK version by default, or the
+        newest version committed to ``branch``.  Trunk readers never see
+        branch commits — that is what makes a branch a staging area."""
+        for v in reversed(self.versions()):
+            if self.snapshot(v).get("branch") == branch:
+                return v
+        return None
 
     def snapshot(self, version: int | None = None, tag: str | None = None) -> dict:
         if tag is not None:
@@ -328,19 +333,84 @@ class SnapshotLog:
         with open(path) as fh:
             return json.load(fh)["version"]
 
+    # --- branches (named writable refs: write-audit-publish) ----------------
+    def branches(self) -> dict[str, int]:
+        """{branch name: head version} over every branch that has at
+        least one commit."""
+        out: dict[str, int] = {}
+        for v in self.versions():
+            b = self.snapshot(v).get("branch")
+            if b is not None:
+                out[b] = v
+        return out
+
+    def publish(self, branch: str) -> int:
+        """Fast-forward the TRUNK to a branch's head — the publish step
+        of write-audit-publish (Iceberg's ``spark.wap.branch`` /
+        ``fast_forward`` procedure): a writer stages commits on a branch
+        (trunk readers see none of them), an audit validates
+        ``read(branch=...)``, and publish makes the audited state the
+        table in ONE metadata commit.
+
+        Publish refuses with :class:`SnapshotConflict` unless the trunk
+        head is still the branch's fork base (a true fast-forward) —
+        a trunk that moved since staging invalidated the audit, so the
+        caller must re-stage on a fresh branch, exactly like a
+        non-commuting commit conflict.  The published trunk version
+        records ``published_from`` for audit lineage; the branch stays
+        readable as history.  When every staged commit is an append, the
+        published commit IS an append — downstream
+        :meth:`read_changes` incremental consumers see exactly the
+        staged rows."""
+        head_v = self.latest_version(branch=branch)
+        if head_v is None:
+            raise FileNotFoundError(f"no branch {branch!r} at {self.log_dir}")
+        head = self.snapshot(head_v)
+        # walk to the fork base (first non-branch ancestor) and collect
+        # the staged operations on the way
+        ops: set[str] = set()
+        m = head
+        while m.get("branch") is not None:
+            ops.add(m["operation"])
+            if m.get("parent") is None:
+                m = {}
+                break
+            m = self.snapshot(m["parent"])
+        fork_base = m.get("version") if m else None
+        trunk = self.latest_version()
+        if trunk != fork_base:
+            raise SnapshotConflict(
+                f"{self.table_dir}: branch {branch!r} forked from trunk "
+                f"{fork_base} but trunk is now {trunk} — not a fast-forward; "
+                "re-stage on a fresh branch and re-audit"
+            )
+        op = "append" if ops <= {"append"} else "publish"
+        return self.commit(
+            op,
+            files=head["files"],
+            expect_latest=trunk,
+            _schema=head.get("schema"),
+            _aliases=dict(head.get("aliases") or {}),
+            _tombstones=list(head.get("tombstones") or []),
+            _partition_spec=list(head.get("partition_spec") or []),
+            # audit lineage, atomic with the CAS — manifests stay immutable
+            _extra={"published_from": {"branch": branch, "version": head_v}},
+        )
+
     def history(self) -> list[dict]:
         """All manifests, oldest first (version/operation/file count/ts)."""
         out = []
         for v in self.versions():
             m = self.snapshot(v)
-            out.append(
-                {
-                    "version": m["version"],
-                    "operation": m["operation"],
-                    "n_files": len(m["files"]),
-                    "ts": m["ts"],
-                }
-            )
+            row = {
+                "version": m["version"],
+                "operation": m["operation"],
+                "n_files": len(m["files"]),
+                "ts": m["ts"],
+            }
+            if m.get("branch") is not None:
+                row["branch"] = m["branch"]
+            out.append(row)
         return out
 
     # --- commit ------------------------------------------------------------
@@ -350,10 +420,12 @@ class SnapshotLog:
         files: list[str] | None = None,
         expect_latest: int | None | str = "__any__",
         *,
+        branch: str | None = None,
         _schema: str | None = None,
         _aliases: dict[str, list[str]] | None = None,
         _tombstones: list[str] | None = None,
         _partition_spec: list[dict] | None = None,
+        _extra: dict | None = None,
     ) -> int:
         """Publish the given (or current) file set as the next version.
 
@@ -383,14 +455,24 @@ class SnapshotLog:
         """
         if files is None:
             files = list_data_files(self.table_dir)
+        if branch is not None and not _TAG_RE.fullmatch(branch):
+            raise ValueError(f"branch name must match {_TAG_RE.pattern!r}: {branch!r}")
         os.makedirs(self.log_dir, exist_ok=True)
-        latest = self.latest_version()
+        vs = self.versions()
+        # the guard compares against THIS REF's head (trunk by default);
+        # version numbers allocate globally across refs, so the os.link
+        # CAS below still serializes every writer on every ref
+        latest = self.latest_version(branch=branch)
         if expect_latest != "__any__" and latest != expect_latest:
             raise SnapshotConflict(
                 f"{self.table_dir}: expected latest version {expect_latest} "
                 f"but found {latest}; re-derive the file list and retry"
             )
-        version = 0 if latest is None else latest + 1
+        version = 0 if not vs else vs[-1] + 1
+        # a branch's FIRST commit forks from the trunk head: that is its
+        # parent (and its metadata inheritance base)
+        if latest is None and branch is not None:
+            latest = self.latest_version()
         schema_json = (
             _schema if _schema is not None else self._schema_json(operation, files, parent=latest)
         )
@@ -435,6 +517,10 @@ class SnapshotLog:
             manifest["tombstones"] = sorted(set(tombstones))
         if pspec:
             manifest["partition_spec"] = pspec
+        if branch is not None:
+            manifest["branch"] = branch
+        if _extra:
+            manifest.update(_extra)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -450,7 +536,9 @@ class SnapshotLog:
             os.remove(tmp)
         return version
 
-    def commit_append(self, new_files: list[str], max_retries: int = 5) -> int:
+    def commit_append(
+        self, new_files: list[str], max_retries: int = 5, branch: str | None = None
+    ) -> int:
         """Append-commit ``new_files`` with writer-level conflict
         RESOLUTION, not just detection: append commits commute, so on
         :class:`SnapshotConflict` the loser re-reads the winner's file
@@ -464,11 +552,16 @@ class SnapshotLog:
         one manifest write, never a data rewrite."""
         last_err: SnapshotConflict | None = None
         for _ in range(max_retries + 1):
-            base_version = self.latest_version()
-            base = self.snapshot(base_version)["files"] if base_version is not None else []
+            base_version = self.latest_version(branch=branch)
+            if base_version is None and branch is not None:
+                # first commit on the branch: fork from the trunk head
+                fork = self.latest_version()
+                base = self.snapshot(fork)["files"] if fork is not None else []
+            else:
+                base = self.snapshot(base_version)["files"] if base_version is not None else []
             merged = sorted(set(base) | set(new_files))
             try:
-                return self.commit("append", merged, expect_latest=base_version)
+                return self.commit("append", merged, expect_latest=base_version, branch=branch)
             except SnapshotConflict as e:
                 last_err = e
         raise SnapshotConflict(
@@ -835,15 +928,25 @@ class SnapshotLog:
 
     # --- read --------------------------------------------------------------
     def read(
-        self, spark: SparkSession, version: int | None = None, tag: str | None = None
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        tag: str | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
-        """DataFrame of exactly the version's (or tag's) files, with its
-        schema.
+        """DataFrame of exactly the version's (or tag's, or branch
+        head's) files, with its schema.
 
         Missing files (replaced by a later overwrite/compact) raise
         :class:`SnapshotExpired` — an expired version never silently
         reads the wrong rows.
         """
+        if branch is not None:
+            if version is not None or tag is not None:
+                raise ValueError("pass exactly one of version/tag/branch")
+            version = self.latest_version(branch=branch)
+            if version is None:
+                raise FileNotFoundError(f"no branch {branch!r} at {self.log_dir}")
         m = self.snapshot(version, tag=tag)
         return self._read_files(spark, m, m["files"])
 
@@ -931,7 +1034,13 @@ class SnapshotLog:
         if from_version > to_v:
             raise ValueError(f"from_version {from_version} > to_version {to_v}")
         for v in range(from_version + 1, to_v + 1):
-            op = self.snapshot(v)["operation"]
+            mv = self.snapshot(v)
+            # branch commits are not trunk lineage: a staged overwrite
+            # that was never published cannot make the trunk range
+            # non-append (publish itself re-records the operation)
+            if mv.get("branch") is not None:
+                continue
+            op = mv["operation"]
             # evolve commits no data files, so a range crossing one is
             # still a pure set of added rows — read under to_version's
             # schema + mapping like any other incremental scan
@@ -1021,7 +1130,11 @@ class SnapshotLog:
         vs = self.versions()
         if not vs:
             return []
-        retained = set(vs[-retain_last:]) | set(self.tags().values())
+        # branch heads are live refs: their staged files must survive a
+        # vacuum of the trunk (tags likewise pin their versions)
+        retained = set(vs[-retain_last:]) | set(self.tags().values()) | set(
+            self.branches().values()
+        )
         keep: set[str] = set()
         for v in retained:
             keep.update(self.snapshot(v)["files"])

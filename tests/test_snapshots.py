@@ -825,3 +825,102 @@ def test_partitioned_vacuum_and_time_travel(spark, tmp_path):
     deleted = log.vacuum(retain_last=1)
     assert deleted == []  # overwrite already removed them physically
     assert {r.id for r in log.read(spark).collect()} == {3}
+
+
+# --- branch refs: write-audit-publish ----------------------------------------
+
+
+def test_wap_stage_audit_publish(spark, tmp_path):
+    """The Iceberg WAP workflow: staged branch commits are invisible to
+    trunk readers, auditable via read(branch=...), and publish
+    fast-forwards the trunk in one metadata commit that downstream
+    incremental consumers see as a plain append."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    v0 = log.commit("overwrite")
+
+    base = set(list_data_files(d))
+    _write(spark, d, [(2, "b")], mode="append")
+    staged = [f for f in list_data_files(d) if f not in base]
+    v_stage = log.commit_append(staged, branch="audit")
+
+    # trunk isolation: latest trunk read sees none of the staged rows
+    assert [r.id for r in log.read(spark).collect()] == [1]
+    assert log.latest_version() == v0
+    # audit: the branch head sees base + staged
+    assert sorted(r.id for r in log.read(spark, branch="audit").collect()) == [1, 2]
+    assert log.branches() == {"audit": v_stage}
+
+    v_pub = log.publish("audit")
+    assert sorted(r.id for r in log.read(spark).collect()) == [1, 2]
+    m = log.snapshot(v_pub)
+    assert m["operation"] == "append"  # appends-only staging publishes as append
+    assert m["published_from"] == {"branch": "audit", "version": v_stage}
+    # incremental consumers see exactly the staged rows across the publish
+    delta = log.read_changes(spark, v0)
+    assert [r.id for r in delta.collect()] == [2]
+
+
+def test_wap_publish_refuses_non_fast_forward(spark, tmp_path):
+    """A trunk that moved after staging invalidated the audit: publish
+    refuses loudly instead of merging unaudited state."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    log.commit("overwrite")
+
+    base = set(list_data_files(d))
+    _write(spark, d, [(2, "b")], mode="append")
+    staged = [f for f in list_data_files(d) if f not in base]
+    log.commit_append(staged, branch="audit")
+
+    # an interloping trunk append lands between stage and publish
+    base2 = set(list_data_files(d))
+    _write(spark, d, [(3, "c")], mode="append")
+    log.commit_append([f for f in list_data_files(d) if f not in base2])
+
+    with pytest.raises(SnapshotConflict, match="not a fast-forward"):
+        log.publish("audit")
+    # trunk is untouched by the refused publish
+    assert sorted(r.id for r in log.read(spark).collect()) == [1, 3]
+
+
+def test_wap_multi_commit_branch_and_vacuum_retention(spark, tmp_path):
+    """A branch accumulates commits (each building on the branch head,
+    not the trunk), vacuum never reclaims a branch head's staged files,
+    and publish carries the whole chain."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    v0 = log.commit("overwrite")
+
+    for new_id in (2, 3):
+        base = set(list_data_files(d))
+        _write(spark, d, [(new_id, "x")], mode="append")
+        log.commit_append([f for f in list_data_files(d) if f not in base], branch="wap")
+    assert sorted(r.id for r in log.read(spark, branch="wap").collect()) == [1, 2, 3]
+
+    assert log.vacuum(retain_last=1) == []  # staged files pinned by the branch head
+    assert sorted(r.id for r in log.read(spark, branch="wap").collect()) == [1, 2, 3]
+
+    log.publish("wap")
+    assert sorted(r.id for r in log.read(spark).collect()) == [1, 2, 3]
+    assert sorted(r.id for r in log.read_changes(spark, v0).collect()) == [2, 3]
+    # the branch stays readable as history after publish
+    assert sorted(r.id for r in log.read(spark, branch="wap").collect()) == [1, 2, 3]
+
+
+def test_branch_name_validation_and_missing(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    log.commit("overwrite")
+    with pytest.raises(ValueError, match="branch name"):
+        log.commit("append", branch="bad/name")
+    with pytest.raises(FileNotFoundError, match="no branch"):
+        log.publish("nope")
+    with pytest.raises(FileNotFoundError, match="no branch"):
+        log.read(spark, branch="nope")
+    with pytest.raises(ValueError, match="exactly one"):
+        log.read(spark, version=0, branch="x")
