@@ -1100,6 +1100,105 @@ class SnapshotLog:
             df = df.filter(F.col(column) <= F.lit(hi))
         return df
 
+    # cap for exact-key merge planning: above this the driver falls back
+    # to [min, max] range overlap (still correct, coarser skipping)
+    MERGE_PLAN_KEYS_MAX = 100_000
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        on: str,
+        branch: str | None = None,
+    ) -> int:
+        """Copy-on-write MERGE (upsert): rows of ``source`` REPLACE the
+        table's rows with the same ``on`` key; unmatched source rows are
+        INSERTED.  The rewrite is planned from manifest stats: only
+        files whose footer ``[min, max]`` for the key can overlap the
+        source's key range are rewritten — at 100 TB a merge that
+        touches one day's keys rewrites one day's files, not the table.
+
+        Unlike ``mode("overwrite")``, the replaced files are NOT
+        deleted: the merge commit simply stops referencing them, so
+        every prior version keeps time-travelling (the Iceberg CoW
+        property our directory-overwrite path cannot give) and
+        :meth:`vacuum` reclaims them once their versions leave the
+        retention window.  Source keys must be unique (raises
+        ValueError otherwise — a multi-row key would make the update
+        non-deterministic), and the source schema must carry exactly
+        the table's columns.  Stage on a ``branch`` to audit the merge
+        before :meth:`publish`."""
+        from pyspark.sql import functions as F
+
+        head_v = self.latest_version(branch=branch)
+        if head_v is None and branch is not None:
+            head_v = self.latest_version()
+        if head_v is None:
+            raise FileNotFoundError(f"no snapshots to merge into at {self.log_dir}")
+        m = self.snapshot(head_v)
+        schema = StructType.fromJson(json.loads(m["schema"])) if m.get("schema") else None
+        if schema is None or on not in [f.name for f in schema.fields]:
+            raise ValueError(f"merge: key {on!r} not in table schema")
+        if sorted(source.columns) != sorted(f.name for f in schema.fields):
+            raise ValueError(
+                f"merge: source columns {sorted(source.columns)} != table "
+                f"columns {sorted(f.name for f in schema.fields)}"
+            )
+        # ONE source pass: key bounds + uniqueness (the planning stats)
+        row = source.agg(
+            F.min(on).alias("lo"),
+            F.max(on).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(on)).alias("nd"),
+        ).collect()[0]
+        if row["n"] == 0:
+            return head_v  # empty merge: nothing to commit
+        if row["n"] != row["nd"]:
+            raise ValueError(f"merge: source has {row['n'] - row['nd']} duplicate keys")
+        lo, hi = row["lo"], row["hi"]
+        # a sparse key set spanning the table would range-overlap every
+        # file; below the cap, plan with the ACTUAL keys (Iceberg's CoW
+        # planning joins source keys against file bounds) — a bounded
+        # driver-side collect, same class as the tag/vocab probes
+        keys: list | None = None
+        if row["n"] <= self.MERGE_PLAN_KEYS_MAX:
+            import bisect
+
+            keys = sorted(r[0] for r in source.select(on).collect())
+        stats = m.get("file_stats", {})
+        stat_keys = [on] + list((m.get("aliases") or {}).get(on, []))
+        touched, kept = [], []
+        for f in m["files"]:
+            st = stats.get(f)
+            key = next((k for k in stat_keys if st and k in st.get("mins", {})), None)
+            if key is None:
+                overlap = True  # no provable bounds: must rewrite
+            elif keys is not None:
+                i = bisect.bisect_left(keys, st["mins"][key])
+                overlap = i < len(keys) and keys[i] <= st["maxs"][key]
+            else:
+                overlap = not (st["maxs"][key] < lo or st["mins"][key] > hi)
+            (touched if overlap else kept).append(f)
+        before = set(list_data_files(self.table_dir))
+        survivors = self._read_files(spark, m, sorted(touched)).join(
+            source.select(on), on=on, how="left_anti"
+        )
+        # align column order so the union is positional-safe
+        cols = [f.name for f in schema.fields]
+        survivors.select(*cols).unionByName(source.select(*cols)).write.mode(
+            "append"
+        ).parquet(self.table_dir)
+        new_files = [f for f in list_data_files(self.table_dir) if f not in before]
+        return self.commit(
+            "merge",
+            files=sorted(kept) + new_files,
+            expect_latest=head_v if branch is None else self.latest_version(branch=branch),
+            branch=branch,
+            _schema=m.get("schema"),
+            _aliases=dict(m.get("aliases") or {}),
+            _tombstones=list(m.get("tombstones") or []),
+        )
+
     def total_rows(self, version: int | None = None) -> int | None:
         """Metadata-only row count of a version (Iceberg's
         ``total-records`` summary) — no file is opened.  None when any

@@ -924,3 +924,75 @@ def test_branch_name_validation_and_missing(spark, tmp_path):
         log.read(spark, branch="nope")
     with pytest.raises(ValueError, match="exactly one"):
         log.read(spark, version=0, branch="x")
+
+
+# --- copy-on-write MERGE (upsert) --------------------------------------------
+
+
+def test_merge_upsert_rewrites_only_touched_files(spark, tmp_path):
+    """MERGE updates matched keys, inserts unmatched ones, rewrites only
+    the files whose footer key-bounds overlap the source, and keeps
+    every prior version time-travelling (CoW: replaced files are
+    unreferenced, not deleted)."""
+    d = str(tmp_path / "t")
+    # two ranged files: ids 0-4 and 100-104
+    spark.createDataFrame(
+        [(i, "a") for i in range(5)] + [(i, "b") for i in range(100, 105)],
+        "id long, val string",
+    ).repartitionByRange(2, "id").write.mode("overwrite").parquet(d)
+    log = SnapshotLog(d)
+    v0 = log.commit("overwrite")
+    files_v0 = log.snapshot(v0)["files"]
+
+    source = spark.createDataFrame([(3, "UP"), (999, "NEW")], "id long, val string")
+    v1 = log.merge(spark, source, on="id")
+
+    got = {r.id: r.val for r in log.read(spark).collect()}
+    assert got[3] == "UP" and got[999] == "NEW" and got[0] == "a" and got[100] == "b"
+    assert len(got) == 11
+    # the low-range file was rewritten; the 100-104 file survives as-is
+    m1 = log.snapshot(v1)
+    assert m1["operation"] == "merge"
+    kept = set(m1["files"]) & set(files_v0)
+    assert kept, "merge rewrote files whose key bounds could not match"
+    assert set(m1["files"]) != set(files_v0)
+    # time travel: v0 still reads the pre-merge table exactly
+    pre = {r.id: r.val for r in log.read(spark, v0).collect()}
+    assert pre[3] == "a" and 999 not in pre and len(pre) == 10
+    # vacuum reclaims the replaced files once v0 leaves retention
+    deleted = log.vacuum(retain_last=1)
+    assert set(deleted) == set(files_v0) - kept
+    with pytest.raises(SnapshotExpired):
+        log.read(spark, v0).collect()
+
+
+def test_merge_validation(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    log.commit("overwrite")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        log.merge(spark, spark.createDataFrame([(1, "x"), (1, "y")], "id long, val string"), on="id")
+    with pytest.raises(ValueError, match="source columns"):
+        log.merge(spark, spark.createDataFrame([(1,)], "id long"), on="id")
+    with pytest.raises(ValueError, match="not in table schema"):
+        log.merge(spark, spark.createDataFrame([(1, "x")], "id long, val string"), on="nope")
+    # empty merge commits nothing
+    v = log.latest_version()
+    assert log.merge(spark, spark.createDataFrame([], "id long, val string"), on="id") == v
+    assert log.latest_version() == v
+
+
+def test_merge_on_branch_then_publish(spark, tmp_path):
+    """A merge staged on a branch composes with WAP: trunk unaffected
+    until publish; publish records the merge (non-append) operation."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a"), (2, "b")])
+    log = SnapshotLog(d)
+    log.commit("overwrite")
+    log.merge(spark, spark.createDataFrame([(2, "UP")], "id long, val string"), on="id", branch="wap")
+    assert {r.id: r.val for r in log.read(spark).collect()} == {1: "a", 2: "b"}
+    assert {r.id: r.val for r in log.read(spark, branch="wap").collect()} == {1: "a", 2: "UP"}
+    v = log.publish("wap")
+    assert {r.id: r.val for r in log.read(spark).collect()} == {1: "a", 2: "UP"}
+    assert log.snapshot(v)["operation"] == "publish"  # merge chain is not appends-only
