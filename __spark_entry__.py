@@ -1392,6 +1392,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snapshot_merge"] = snapshot_merge
 
+    def stream_snapshot_sink(spark, sf):
+        """Exactly-once streaming ingestion into the snapshot log as a
+        contract row (round-5 table-format layer, snapshots.py): a
+        parquet-source stream drains availableNow through
+        ``log.streaming_sink()`` (foreachBatch + idempotent batch-id
+        commits — the Delta transactional-sink pattern), in two drains:
+        even doc_ids, then odd doc_ids appended to the source.  The row
+        asserts each drain commits with its monotonically increasing
+        ``stream_batch_id``, that a checkpoint-resumed drain with no new
+        data commits NOTHING (exactly-once under replay), and that
+        ``read_changes`` across the second drain exposes exactly the
+        odd half to incremental consumers.  The final table read is all
+        documents — the DuckDB twin — so the hash gate proves the sink
+        neither lost nor duplicated a row across drains and restarts."""
+        import shutil
+        import tempfile
+
+        from nilinker_spark.snapshots import SnapshotLog
+
+        docs = _docs(spark, sf).select("doc_id", "lang", "n_chars")
+        base = tempfile.mkdtemp(prefix="snap_sink_")
+        try:
+            src, tbl, ck = f"{base}/src", f"{base}/tbl", f"{base}/ck"
+            log = SnapshotLog(tbl)
+
+            def drain():
+                (
+                    spark.readStream.schema("doc_id long, lang string, n_chars long")
+                    .parquet(src)
+                    .writeStream.foreachBatch(log.streaming_sink())
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                    .awaitTermination(300)
+                )
+
+            docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(src)
+            drain()
+            v1 = log.latest_version()
+            drain()  # no new data: exactly-once means no new commit
+            if log.latest_version() != v1:
+                raise RuntimeError("stream_snapshot_sink: empty re-drain committed")
+            docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+            drain()
+            v2 = log.latest_version()
+            if not (
+                log.snapshot(v2).get("stream_batch_id", -1)
+                > log.snapshot(v1).get("stream_batch_id", -1)
+            ):
+                raise RuntimeError("stream_snapshot_sink: batch ids not monotone")
+            n_odd = log.read_changes(spark, v1).count()
+            n_all = log.read(spark).count()
+            if n_odd == 0 or n_odd >= n_all:
+                raise RuntimeError(
+                    f"stream_snapshot_sink: bad incremental split {n_odd}/{n_all}"
+                )
+            # the table dir is temporary: materialize before cleanup
+            return _materialize(spark, log.read(spark))
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    q["stream_snapshot_sink"] = stream_snapshot_sink
+
     # Driver-coverage rotation (VERDICT r4 #2): the driver checks the
     # FIRST ~50 dict entries per round (CORRECTNESS_r04 carried exactly
     # positions 0-49), so rows the driver has not yet evidenced LEAD and
@@ -1412,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_partition_prune",
         "snapshot_wap",
         "snapshot_merge",
+        "stream_snapshot_sink",
         "decontaminate",
         "importance_resample",
         "pack_sequences",
@@ -1866,6 +1930,7 @@ def oracle_sql() -> dict[str, str]:
         "select doc_id, lang, n_chars from documents where lang = 'en'"
     )
     o["snapshot_wap"] = "select doc_id, lang, n_chars from documents"
+    o["stream_snapshot_sink"] = "select doc_id, lang, n_chars from documents"
     o["snapshot_merge"] = (
         "select doc_id, lang, case when doc_id < 50 then n_chars * 2 "
         "else n_chars end as n_chars from documents "

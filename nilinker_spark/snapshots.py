@@ -537,7 +537,11 @@ class SnapshotLog:
         return version
 
     def commit_append(
-        self, new_files: list[str], max_retries: int = 5, branch: str | None = None
+        self,
+        new_files: list[str],
+        max_retries: int = 5,
+        branch: str | None = None,
+        _extra: dict | None = None,
     ) -> int:
         """Append-commit ``new_files`` with writer-level conflict
         RESOLUTION, not just detection: append commits commute, so on
@@ -561,7 +565,9 @@ class SnapshotLog:
                 base = self.snapshot(base_version)["files"] if base_version is not None else []
             merged = sorted(set(base) | set(new_files))
             try:
-                return self.commit("append", merged, expect_latest=base_version, branch=branch)
+                return self.commit(
+                    "append", merged, expect_latest=base_version, branch=branch, _extra=_extra
+                )
             except SnapshotConflict as e:
                 last_err = e
         raise SnapshotConflict(
@@ -1099,6 +1105,51 @@ class SnapshotLog:
         if hi is not None:
             df = df.filter(F.col(column) <= F.lit(hi))
         return df
+
+    # --- streaming sink (exactly-once appends) -------------------------------
+    def last_stream_batch_id(self) -> int | None:
+        """Highest ``stream_batch_id`` any committed manifest records,
+        or None when no streaming batch has ever committed."""
+        best: int | None = None
+        for v in self.versions():
+            b = self.snapshot(v).get("stream_batch_id")
+            if b is not None:
+                best = b if best is None else max(best, b)
+        return best
+
+    def streaming_sink(self):
+        """``foreachBatch`` callable giving EXACTLY-ONCE appends into
+        this log — the Delta transactional-sink pattern: Structured
+        Streaming's checkpoint makes each ``batch_id``'s contents
+        deterministic, and the committed manifest records the batch id,
+        so a post-crash replay of an already-committed batch SKIPS
+        instead of double-appending (batch ids are monotonic per
+        query; this sink assumes the single-writer caller contract the
+        rest of the log uses).  A crash between the parquet write and
+        the commit leaves orphan part files that no manifest references
+        — readers never see them (reads are manifest-resolved) and
+        :meth:`vacuum` leaves them alone as in-flight, exactly like any
+        other crashed writer.
+
+        Usage::
+
+            q = (stream.writeStream.foreachBatch(log.streaming_sink())
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+        """
+
+        def _sink(df: DataFrame, batch_id: int) -> None:
+            last = self.last_stream_batch_id()
+            if last is not None and batch_id <= last:
+                return  # replayed batch: already committed exactly once
+            if df.isEmpty():
+                return  # an empty batch commits nothing (no version bump)
+            before = set(list_data_files(self.table_dir))
+            df.write.mode("append").parquet(self.table_dir)
+            new = [f for f in list_data_files(self.table_dir) if f not in before]
+            self.commit_append(new, _extra={"stream_batch_id": int(batch_id)})
+
+        return _sink
 
     # cap for exact-key merge planning: above this the driver falls back
     # to [min, max] range overlap (still correct, coarser skipping)

@@ -996,3 +996,63 @@ def test_merge_on_branch_then_publish(spark, tmp_path):
     v = log.publish("wap")
     assert {r.id: r.val for r in log.read(spark).collect()} == {1: "a", 2: "UP"}
     assert log.snapshot(v)["operation"] == "publish"  # merge chain is not appends-only
+
+
+# --- exactly-once streaming sink ---------------------------------------------
+
+
+def test_streaming_sink_exactly_once(spark, tmp_path):
+    """foreachBatch sink into the log: one manifest per microbatch with
+    its batch id; a checkpoint-resumed second drain with no new data
+    commits NOTHING; new source files commit exactly the delta, which
+    read_changes exposes to incremental consumers."""
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    _write(spark, src, [(1, "a"), (2, "b")])
+    log = SnapshotLog(tbl)
+
+    def drain():
+        (
+            spark.readStream.schema("id long, val string")
+            .parquet(src)
+            .writeStream.foreachBatch(log.streaming_sink())
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    drain()
+    v1 = log.latest_version()
+    assert sorted(r.id for r in log.read(spark).collect()) == [1, 2]
+    assert log.snapshot(v1).get("stream_batch_id") == 0
+
+    drain()  # resume, no new data: exactly-once means no new commit
+    assert log.latest_version() == v1
+
+    _write(spark, src, [(3, "c")], mode="append")
+    drain()
+    v2 = log.latest_version()
+    assert sorted(r.id for r in log.read(spark).collect()) == [1, 2, 3]
+    assert log.snapshot(v2).get("stream_batch_id") == 1
+    assert [r.id for r in log.read_changes(spark, v1).collect()] == [3]
+
+
+def test_streaming_sink_replay_is_idempotent(spark, tmp_path):
+    """A crash-replay of an already-committed batch id is a no-op —
+    calling the sink callable twice with the same (df, batch_id) leaves
+    one commit and one copy of the rows."""
+    tbl = str(tmp_path / "tbl")
+    log = SnapshotLog(tbl)
+    sink = log.streaming_sink()
+    df = spark.createDataFrame([(1, "a")], "id long, val string")
+    sink(df, 0)
+    v = log.latest_version()
+    sink(df, 0)  # replay
+    assert log.latest_version() == v
+    assert [r.id for r in log.read(spark).collect()] == [1]
+    # a crash BETWEEN write and commit leaves orphans no manifest sees
+    df.write.mode("append").parquet(tbl)  # the orphan write
+    sink(df, 1)  # the recovered batch commits its own files
+    assert sorted(r.id for r in log.read(spark).collect()) == [1, 1]
