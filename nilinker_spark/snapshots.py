@@ -219,6 +219,17 @@ def _json_safe(v):
         return None
 
 
+def _stat_bounds(st: dict | None, stat_keys: list[str]) -> tuple | None:
+    """A file's recorded (min, max) for the first of ``stat_keys`` it
+    carries bounds for (logical name first, then physical aliases), or
+    None when the file proves nothing — shared by prune() and merge()
+    so their skip decisions cannot drift."""
+    key = next((k for k in stat_keys if st and k in st.get("mins", {})), None)
+    if key is None:
+        return None
+    return st["mins"][key], st["maxs"][key]
+
+
 def list_data_files(table_dir: str) -> list[str]:
     """Sorted relative part-file paths currently in the table directory
     — recursive, so partitioned layouts (``_p_…=v/part-…``) list with
@@ -227,7 +238,18 @@ def list_data_files(table_dir: str) -> list[str]:
         return []
     out = []
     for root, dirs, files in os.walk(table_dir):
-        dirs[:] = [d for d in dirs if not d.startswith(".") and not d.endswith(_SNAP_SUFFIX)]
+        # descend ONLY into partition-value dirs (`_p_…=v`): every other
+        # underscore/dot-prefixed dir is engine-private — most sharply
+        # Spark's `_temporary` job-staging tree, whose attempt files must
+        # never enter a manifest (they are torn by definition until the
+        # job commit renames them out)
+        dirs[:] = [
+            d
+            for d in dirs
+            if not d.startswith(".")
+            and not d.endswith(_SNAP_SUFFIX)
+            and not (d.startswith("_") and "=" not in d)
+        ]
         rel = os.path.relpath(root, table_dir)
         for n in files:
             if _is_data_file(n):
@@ -344,6 +366,29 @@ class SnapshotLog:
                 out[b] = v
         return out
 
+    def _dropped_branches(self) -> set[str]:
+        d = os.path.join(self.log_dir, "branch_drops")
+        if not os.path.isdir(d):
+            return set()
+        return {n[: -len(".json")] for n in os.listdir(d) if n.endswith(".json")}
+
+    def drop_branch(self, name: str) -> None:
+        """Retire a branch ref: its head no longer pins files from
+        :meth:`vacuum` (published heads are auto-unpinned — the trunk
+        carries their state — so this is for ABANDONED audits).  History
+        stays readable until a vacuum actually reclaims the staged
+        files, after which reads of those versions raise
+        :class:`SnapshotExpired` like any other expiry — never a silent
+        misread.  Idempotent."""
+        if self.latest_version(branch=name) is None:
+            raise FileNotFoundError(f"no branch {name!r} at {self.log_dir}")
+        d = os.path.join(self.log_dir, "branch_drops")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(self.log_dir, f".tmp-drop-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"name": name, "ts": time.time()}, fh)
+        os.replace(tmp, os.path.join(d, f"{name}.json"))
+
     def publish(self, branch: str) -> int:
         """Fast-forward the TRUNK to a branch's head — the publish step
         of write-audit-publish (Iceberg's ``spark.wap.branch`` /
@@ -426,6 +471,7 @@ class SnapshotLog:
         _tombstones: list[str] | None = None,
         _partition_spec: list[dict] | None = None,
         _extra: dict | None = None,
+        _fork_expect: int | None | str = "__any__",
     ) -> int:
         """Publish the given (or current) file set as the next version.
 
@@ -470,9 +516,21 @@ class SnapshotLog:
             )
         version = 0 if not vs else vs[-1] + 1
         # a branch's FIRST commit forks from the trunk head: that is its
-        # parent (and its metadata inheritance base)
+        # parent (and its metadata inheritance base).  _fork_expect is
+        # expect_latest's twin for this path: the caller derived its
+        # file list from a trunk head it read EARLIER — if the trunk
+        # moved since, recording the new head as parent would make
+        # publish()'s fast-forward check pass while the staged file list
+        # silently omits the trunk winner's files (the lost-update class
+        # expect_latest exists to close).
         if latest is None and branch is not None:
             latest = self.latest_version()
+            if _fork_expect != "__any__" and latest != _fork_expect:
+                raise SnapshotConflict(
+                    f"{self.table_dir}: branch {branch!r} staged from trunk "
+                    f"{_fork_expect} but trunk is now {latest}; re-derive "
+                    "and retry"
+                )
         schema_json = (
             _schema if _schema is not None else self._schema_json(operation, files, parent=latest)
         )
@@ -557,8 +615,11 @@ class SnapshotLog:
         last_err: SnapshotConflict | None = None
         for _ in range(max_retries + 1):
             base_version = self.latest_version(branch=branch)
+            fork: int | None | str = "__any__"
             if base_version is None and branch is not None:
-                # first commit on the branch: fork from the trunk head
+                # first commit on the branch: fork from the trunk head —
+                # guarded by _fork_expect so a trunk append landing
+                # between this read and the commit retries with the union
                 fork = self.latest_version()
                 base = self.snapshot(fork)["files"] if fork is not None else []
             else:
@@ -566,7 +627,12 @@ class SnapshotLog:
             merged = sorted(set(base) | set(new_files))
             try:
                 return self.commit(
-                    "append", merged, expect_latest=base_version, branch=branch, _extra=_extra
+                    "append",
+                    merged,
+                    expect_latest=base_version,
+                    branch=branch,
+                    _extra=_extra,
+                    _fork_expect=fork,
                 )
             except SnapshotConflict as e:
                 last_err = e
@@ -768,6 +834,12 @@ class SnapshotLog:
                 f"{self.table_dir}: no partition spec in force — "
                 "set_partition_spec first (or write plain parquet)"
             )
+        self._write_clustered(df, spec, mode)
+
+    def _write_clustered(self, df: DataFrame, spec: list[dict], mode: str) -> None:
+        """Derive the spec's partition tuple, cluster on it, and write
+        with the tuple in the file paths — shared by write_partitioned
+        and merge's rewrite so a merged file never loses its tuple."""
         dtypes = dict(df.dtypes)
         missing = [f["column"] for f in spec if f["column"] not in dtypes]
         if missing:
@@ -1088,12 +1160,11 @@ class SnapshotLog:
         stat_keys = [column] + list((m.get("aliases") or {}).get(column, []))
         selected = []
         for f in m["files"]:
-            st = stats.get(f)
-            key = next((k for k in stat_keys if st and k in st.get("mins", {})), None)
-            if key is None:
+            bounds = _stat_bounds(stats.get(f), stat_keys)
+            if bounds is None:
                 selected.append(f)  # no provable bounds: must scan
                 continue
-            fmin, fmax = st["mins"][key], st["maxs"][key]
+            fmin, fmax = bounds
             if lo is not None and fmax < lo:
                 continue
             if hi is not None and fmin > hi:
@@ -1109,13 +1180,15 @@ class SnapshotLog:
     # --- streaming sink (exactly-once appends) -------------------------------
     def last_stream_batch_id(self) -> int | None:
         """Highest ``stream_batch_id`` any committed manifest records,
-        or None when no streaming batch has ever committed."""
-        best: int | None = None
-        for v in self.versions():
+        or None when no streaming batch has ever committed.  Batch ids
+        are monotone in version order (single-writer sink contract), so
+        the newest manifest carrying one answers in O(1) typical — a
+        long-lived stream must not re-read its whole log every batch."""
+        for v in reversed(self.versions()):
             b = self.snapshot(v).get("stream_batch_id")
             if b is not None:
-                best = b if best is None else max(best, b)
-        return best
+                return b
+        return None
 
     def streaming_sink(self):
         """``foreachBatch`` callable giving EXACTLY-ONCE appends into
@@ -1181,9 +1254,15 @@ class SnapshotLog:
         before :meth:`publish`."""
         from pyspark.sql import functions as F
 
-        head_v = self.latest_version(branch=branch)
+        # the commit below passes the heads read HERE as its derived-from
+        # guards (expect_latest / _fork_expect): a concurrent commit to
+        # the same ref between this plan and the commit must surface as
+        # SnapshotConflict, never a silently regressive manifest
+        ref_head = self.latest_version(branch=branch)
+        head_v, fork = ref_head, "__any__"
         if head_v is None and branch is not None:
             head_v = self.latest_version()
+            fork = head_v
         if head_v is None:
             raise FileNotFoundError(f"no snapshots to merge into at {self.log_dir}")
         m = self.snapshot(head_v)
@@ -1206,7 +1285,10 @@ class SnapshotLog:
             return head_v  # empty merge: nothing to commit
         if row["n"] != row["nd"]:
             raise ValueError(f"merge: source has {row['n'] - row['nd']} duplicate keys")
-        lo, hi = row["lo"], row["hi"]
+        # footer stats store dates/timestamps as ISO strings (_json_safe,
+        # lexicographic == chronological), so normalize the collected
+        # keys through the same conversion before comparing
+        lo, hi = _json_safe(row["lo"]), _json_safe(row["hi"])
         # a sparse key set spanning the table would range-overlap every
         # file; below the cap, plan with the ACTUAL keys (Iceberg's CoW
         # planning joins source keys against file bounds) — a bounded
@@ -1215,20 +1297,23 @@ class SnapshotLog:
         if row["n"] <= self.MERGE_PLAN_KEYS_MAX:
             import bisect
 
-            keys = sorted(r[0] for r in source.select(on).collect())
+            keys = sorted(_json_safe(r[0]) for r in source.select(on).collect())
+            if any(k is None for k in keys):
+                keys = None  # a non-orderable key value: fall back
         stats = m.get("file_stats", {})
         stat_keys = [on] + list((m.get("aliases") or {}).get(on, []))
         touched, kept = [], []
         for f in m["files"]:
-            st = stats.get(f)
-            key = next((k for k in stat_keys if st and k in st.get("mins", {})), None)
-            if key is None:
+            bounds = _stat_bounds(stats.get(f), stat_keys)
+            if bounds is None:
                 overlap = True  # no provable bounds: must rewrite
             elif keys is not None:
-                i = bisect.bisect_left(keys, st["mins"][key])
-                overlap = i < len(keys) and keys[i] <= st["maxs"][key]
+                i = bisect.bisect_left(keys, bounds[0])
+                overlap = i < len(keys) and keys[i] <= bounds[1]
+            elif lo is None or hi is None:
+                overlap = True  # non-orderable source bounds: must rewrite
             else:
-                overlap = not (st["maxs"][key] < lo or st["mins"][key] > hi)
+                overlap = not (bounds[1] < lo or bounds[0] > hi)
             (touched if overlap else kept).append(f)
         before = set(list_data_files(self.table_dir))
         survivors = self._read_files(spark, m, sorted(touched)).join(
@@ -1236,18 +1321,24 @@ class SnapshotLog:
         )
         # align column order so the union is positional-safe
         cols = [f.name for f in schema.fields]
-        survivors.select(*cols).unionByName(source.select(*cols)).write.mode(
-            "append"
-        ).parquet(self.table_dir)
+        merged_rows = survivors.select(*cols).unionByName(source.select(*cols))
+        # a hidden-partitioned table's rewrite must stay clustered, or
+        # every merged file loses its tuple and prune_partition degrades
+        spec = list(m.get("partition_spec") or [])
+        if spec:
+            self._write_clustered(merged_rows, spec, "append")
+        else:
+            merged_rows.write.mode("append").parquet(self.table_dir)
         new_files = [f for f in list_data_files(self.table_dir) if f not in before]
         return self.commit(
             "merge",
             files=sorted(kept) + new_files,
-            expect_latest=head_v if branch is None else self.latest_version(branch=branch),
+            expect_latest=ref_head if branch is not None else head_v,
             branch=branch,
             _schema=m.get("schema"),
             _aliases=dict(m.get("aliases") or {}),
             _tombstones=list(m.get("tombstones") or []),
+            _fork_expect=fork,
         )
 
     def total_rows(self, version: int | None = None) -> int | None:
@@ -1280,11 +1371,27 @@ class SnapshotLog:
         vs = self.versions()
         if not vs:
             return []
-        # branch heads are live refs: their staged files must survive a
-        # vacuum of the trunk (tags likewise pin their versions)
-        retained = set(vs[-retain_last:]) | set(self.tags().values()) | set(
-            self.branches().values()
-        )
+        # the retain window counts TRUNK versions — branch commits share
+        # the global counter, and counting them would let a staged branch
+        # rewrite push the live trunk head out of the window and vacuum
+        # its files.  Branch heads are live refs: their staged files
+        # survive a trunk vacuum (tags likewise pin their versions) —
+        # EXCEPT heads already published to the trunk (their state is the
+        # trunk's now) and heads explicitly dropped via drop_branch().
+        trunk_vs = [v for v in vs if self.snapshot(v).get("branch") is None]
+        published = {
+            (p["branch"], p["version"])
+            for v in vs
+            for p in [self.snapshot(v).get("published_from")]
+            if p is not None
+        }
+        dropped = self._dropped_branches()
+        live_heads = {
+            head
+            for b, head in self.branches().items()
+            if b not in dropped and (b, head) not in published
+        }
+        retained = set(trunk_vs[-retain_last:]) | set(self.tags().values()) | live_heads
         keep: set[str] = set()
         for v in retained:
             keep.update(self.snapshot(v)["files"])

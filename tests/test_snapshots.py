@@ -1056,3 +1056,121 @@ def test_streaming_sink_replay_is_idempotent(spark, tmp_path):
     df.write.mode("append").parquet(tbl)  # the orphan write
     sink(df, 1)  # the recovered batch commits its own files
     assert sorted(r.id for r in log.read(spark).collect()) == [1, 1]
+
+
+# --- review-fix regressions ---------------------------------------------------
+
+
+def test_vacuum_branch_commits_do_not_shrink_trunk_window(spark, tmp_path):
+    """Branch commits share the global version counter but must NOT
+    count against vacuum's trunk retain window: a staged branch merge
+    (which rewrites files) followed by vacuum(retain_last=1) must leave
+    the live trunk head fully readable."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a"), (2, "b")])
+    log = SnapshotLog(d)
+    log.commit("overwrite")
+    log.merge(spark, spark.createDataFrame([(2, "UP")], "id long, val string"), on="id", branch="audit")
+    assert log.vacuum(retain_last=1) == []  # trunk head + live branch head both pinned
+    assert {r.id: r.val for r in log.read(spark).collect()} == {1: "a", 2: "b"}
+    assert {r.id: r.val for r in log.read(spark, branch="audit").collect()} == {1: "a", 2: "UP"}
+
+
+def test_listing_excludes_spark_temporary_staging(spark, tmp_path):
+    """A crashed write's _temporary attempt files must never enter a
+    manifest; partition-value dirs (underscore-prefixed but =-bearing)
+    still list."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    stage = os.path.join(d, "_temporary", "0", "_temporary", "attempt_1")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "part-00000-torn.snappy.parquet"), "wb") as fh:
+        fh.write(b"torn")
+    files = list_data_files(d)
+    assert files and all("_temporary" not in f for f in files)
+    log = SnapshotLog(d)
+    log.commit("overwrite")  # default listing: must not reference the torn file
+    assert [r.id for r in log.read(spark).collect()] == [1]
+
+
+def test_branch_fork_race_raises(spark, tmp_path):
+    """A trunk commit landing between a fresh branch's file derivation
+    and its first commit surfaces as SnapshotConflict (commit_append
+    then retries with the union), never a staged list that silently
+    omits the trunk winner's files."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    v0 = log.commit("overwrite")
+    _write(spark, d, [(2, "b")], mode="append")
+    log.commit("append")  # the interloper: trunk is now v1
+    with pytest.raises(SnapshotConflict, match="staged from trunk"):
+        log.commit("append", branch="audit", expect_latest=None, _fork_expect=v0)
+    # commit_append's retry loop resolves the same race transparently
+    base = set(SnapshotLog(d).snapshot()["files"])
+    _write(spark, d, [(3, "c")], mode="append")
+    staged = [f for f in list_data_files(d) if f not in base]
+    log.commit_append(staged, branch="audit")
+    assert sorted(r.id for r in log.read(spark, branch="audit").collect()) == [1, 2, 3]
+    log.publish("audit")
+    assert sorted(r.id for r in log.read(spark).collect()) == [1, 2, 3]
+
+
+def test_merge_keeps_partition_tuples_and_date_keys(spark, tmp_path):
+    """Merging a hidden-partitioned table writes the rewrite clustered
+    (tuples preserved, pruning intact), and a date merge key compares
+    against the ISO-string footer stats without TypeError."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "t")
+    log = SnapshotLog(d)
+    log.set_partition_spec([{"column": "lang", "transform": "identity"}])
+    df = spark.createDataFrame(
+        [(1, "en", "2026-01-01"), (2, "de", "2026-01-02"), (3, "en", "2026-01-03")],
+        "id long, lang string, day string",
+    ).withColumn("day", F.col("day").cast("date"))
+    log.write_partitioned(df)
+    log.commit("append")
+
+    import datetime
+
+    src = spark.createDataFrame(
+        [(2, "de", datetime.date(2026, 2, 2)), (9, "fr", datetime.date(2026, 2, 9))],
+        "id long, lang string, day date",
+    )
+    log.merge(spark, src, on="id")  # id key, date column present
+    # date-keyed merge exercises the ISO normalization path
+    log.merge(
+        spark,
+        spark.createDataFrame([(7, "en", datetime.date(2026, 1, 3))], "id long, lang string, day date"),
+        on="day",
+    )
+    got = {r.id: (r.lang, str(r.day)) for r in log.read(spark).collect()}
+    assert got[2] == ("de", "2026-02-02") and got[9] == ("fr", "2026-02-09")
+    assert got[7] == ("en", "2026-01-03") and 3 not in got  # day-keyed replace
+    # every merged-in file still carries a lang tuple in its path
+    assert all("_p_identity__lang=" in f for f in log.snapshot()["files"])
+    pruned = log.prune_partition(spark, {"lang": "en"})
+    assert all("_p_identity__lang=en" in f for f in pruned.inputFiles())
+
+
+def test_drop_branch_and_published_heads_unpin(spark, tmp_path):
+    """vacuum keeps staged files only for LIVE branch heads: a published
+    head's state is the trunk's, and drop_branch retires an abandoned
+    audit — both stop pinning."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    log.commit("overwrite")
+    log.merge(spark, spark.createDataFrame([(1, "UP")], "id long, val string"), on="id", branch="audit")
+    assert log.vacuum(retain_last=1) == []  # live head pins its rewrite
+    log.publish("audit")
+    deleted = log.vacuum(retain_last=1)
+    assert deleted  # the replaced pre-merge file is now reclaimable
+    assert {r.val for r in log.read(spark).collect()} == {"UP"}
+
+    log.merge(spark, spark.createDataFrame([(1, "ABANDONED")], "id long, val string"), on="id", branch="dead")
+    assert log.vacuum(retain_last=1) == []
+    log.drop_branch("dead")
+    assert log.vacuum(retain_last=1)  # the abandoned staging is reclaimed
+    assert {r.val for r in log.read(spark).collect()} == {"UP"}
