@@ -1218,7 +1218,14 @@ class SnapshotLog:
             if df.isEmpty():
                 return  # an empty batch commits nothing (no version bump)
             before = set(list_data_files(self.table_dir))
-            df.write.mode("append").parquet(self.table_dir)
+            spec = self.partition_spec()
+            if spec:
+                # a partitioned table ingests clustered: each batch's
+                # files carry their tuple (e.g. days(warc_ts) — one
+                # day's files prune for one day's queries)
+                self._write_clustered(df, spec, "append")
+            else:
+                df.write.mode("append").parquet(self.table_dir)
             new = [f for f in list_data_files(self.table_dir) if f not in before]
             self.commit_append(new, _extra={"stream_batch_id": int(batch_id)})
 

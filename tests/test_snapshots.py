@@ -1174,3 +1174,41 @@ def test_drop_branch_and_published_heads_unpin(spark, tmp_path):
     log.drop_branch("dead")
     assert log.vacuum(retain_last=1)  # the abandoned staging is reclaimed
     assert {r.val for r in log.read(spark).collect()} == {"UP"}
+
+
+def test_streaming_sink_into_partitioned_table(spark, tmp_path):
+    """Streaming ingestion into a days(warc_ts)-partitioned table (the
+    Common-Crawl north-star layout): each drained batch's files carry
+    their day tuple, so a day-equality read prunes to that day's files
+    across every ingested batch."""
+    import datetime
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        (1, datetime.datetime(2026, 1, 1, 5, 0), "a"),
+        (2, datetime.datetime(2026, 1, 2, 6, 0), "b"),
+        (3, datetime.datetime(2026, 1, 1, 23, 0), "c"),
+    ]
+    spark.createDataFrame(rows, "id long, warc_ts timestamp, val string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    log = SnapshotLog(tbl)
+    log.set_partition_spec([{"column": "warc_ts", "transform": "days"}])
+    (
+        spark.readStream.schema("id long, warc_ts timestamp, val string")
+        .parquet(src)
+        .writeStream.foreachBatch(log.streaming_sink())
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    assert sorted(r.id for r in log.read(spark).collect()) == [1, 2, 3]
+    assert sorted(log.read(spark).columns) == ["id", "val", "warc_ts"]  # tuple is hidden
+    day = log.prune_partition(spark, {"warc_ts": datetime.datetime(2026, 1, 1, 5, 0)})
+    # the residual equality keeps only the exact-ts row, but the FILE
+    # selection pruned to the 2026-01-01 day partition
+    assert all("_p_days__warc_ts=2026-01-01" in f for f in day.inputFiles())
+    assert [r.id for r in day.collect()] == [1]
