@@ -41,16 +41,35 @@ null-fills the column in pre-evolution files (standard Spark parquet
 semantics under an explicit schema).
 
 Schema evolution beyond additive columns — :meth:`SnapshotLog.evolve`
-renames and drops — uses NAME MAPPING (Delta's column-mapping / Iceberg
-``schema.name-mapping.default``, the bridge real systems use for files
-written without field ids): a rename is a metadata-only commit that
-records the old physical name as an ALIAS of the new logical name, and
-reads coalesce the logical column over its alias generations so every
-vintage of part file resolves correctly in ONE scan.  A drop tombstones
-the name.  Because resolution is by name, re-using a physical name that
-is still aliased (or tombstoned) would be ambiguous — commits that
-would introduce one REFUSE loudly (real field-id evolution lifts that
-restriction; documented in the README swap table).
+renames, drops, and type-promotes — uses NAME MAPPING (Delta's
+column-mapping / Iceberg ``schema.name-mapping.default``, the bridge
+real systems use for files written without field ids): a rename is a
+metadata-only commit that records the old physical name as an ALIAS of
+the new logical name, and reads coalesce the logical column over its
+alias generations so every vintage of part file resolves correctly in
+ONE scan.  A drop tombstones the name; a promote widens the type
+within the Iceberg value-preserving set (old footers upcast under the
+explicit read schema).  Because resolution is by name, re-using a
+physical name that is still aliased (or tombstoned) would be ambiguous
+— commits that would introduce one REFUSE loudly (real field-id
+evolution lifts that restriction; documented in the README swap table).
+
+The rest of the lakehouse surface lives here too, each hash-exact
+against a DuckDB twin (``snapshot_*`` / ``stream_snapshot_sink``
+contract rows) and covered in tests/test_snapshots.py:
+
+- HIDDEN PARTITIONING + partition evolution (:meth:`set_partition_spec`
+  / :meth:`write_partitioned` / :meth:`prune_partition`) — transforms
+  over source columns, per-file tuples in the PATHS, self-describing
+  across spec changes;
+- BRANCH refs as write-audit-publish (:meth:`commit` ``branch=`` /
+  :meth:`publish` / :meth:`drop_branch`) — staged commits invisible to
+  trunk readers, fast-forward publish with lost-update guards;
+- copy-on-write MERGE (:meth:`merge`) — upsert rewriting only the
+  files whose manifest key-bounds contain a source key, prior versions
+  keep time travelling;
+- an exactly-once Structured Streaming sink (:meth:`streaming_sink`) —
+  foreachBatch with idempotent batch-id commits, partition-spec-aware.
 
 Relation to the WAL (pipeline.py:322): the WAL makes crashed *writers*
 recoverable (orphan part files are deleted on the next entry); this log
