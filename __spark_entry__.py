@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_counts"] = lambda spark, sf: C.token_counts(_docs(spark, sf))
     q["lang_id"] = lambda spark, sf: C.lang_id(_docs(spark, sf))
     q["fingerprint"] = lambda spark, sf: C.fingerprint(_docs(spark, sf))
+    q["lm_bigram_score"] = lambda spark, sf: C.lm_bigram_score(_docs(spark, sf))
 
     # --- corpus ops: training-set preparation (new r5) ---------------------------
     def decontaminate(spark, sf):
@@ -1476,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_wap",
         "snapshot_merge",
         "stream_snapshot_sink",
+        "lm_bigram_score",
         "decontaminate",
         "importance_resample",
         "pack_sequences",
@@ -1898,6 +1900,15 @@ def oracle_sql() -> dict[str, str]:
         "rk as (select query_id, vec_id, cos, row_number() over "
         "(partition by query_id order by cos desc, vec_id asc) as rank from cand) "
         "select query_id, vec_id, cos, rank from rk where rank <= 5"
+    )
+    o["lm_bigram_score"] = (
+        "with base as (select doc_id, string_split(text,' ') as toks from documents), "
+        "b as (select doc_id, array_to_string(toks[i:i+1], ' ') as g from base, "
+        "unnest(range(1, greatest(len(toks) - 1, 0) + 1)) as r(i) where len(toks[i:i+1]) = 2), "
+        "lm as (select g, count(*) as freq from b group by 1), "
+        "d as (select doc_id, count(*) as n_bigrams, sum(freq) as s from b join lm using (g) group by 1) "
+        "select doc_id, cast(n_bigrams as bigint) as n_bigrams, "
+        "(s * 10000) // n_bigrams / 10000.0 as mean_bigram_freq from d"
     )
     o["repetition_metrics"] = (
         "with base as (select doc_id, string_split(text,' ') as toks from documents), "

@@ -547,6 +547,43 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
     )
 
 
+def lm_bigram_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, mean_bigram_freq) — CCNet-style language-model
+    filtering signal (Wenzek et al. 2020, public) with a corpus-trained
+    frequency model standing in for the external KenLM: the "model" is
+    the corpus-wide count of each word bigram, and a document's score is
+    the MEAN corpus frequency of its bigrams — natural text re-uses the
+    corpus's common constructions and scores high; gibberish and
+    keyword-stuffed pages score near 1 (every bigram unique).  CCNet's
+    perplexity buckets become quantiles over this column; the low tail
+    is the filter.  Docs with no bigram (< 2 tokens) drop, like the
+    other token-gated metrics.
+
+    Exact integers end-to-end — the mean is 4-dp FIXED POINT
+    ((sum·10000) div n / 10000.0), never a rounded float average, so
+    the DuckDB twin is hash-exact at every scale (CLAUDE.md rule).
+
+    Plan: the exploded bigram table persists and feeds BOTH subtrees
+    (the LM count aggregate and the re-join), so the corpus is scanned
+    once; the LM join key is Zipf-skewed at 100 TB — the hot keys are
+    exactly the most frequent bigrams — which is AQE skew-join's case,
+    and the LM side is a vocabulary-sized aggregate, not corpus-sized.
+    ≙ the reference has no corpus-level LM; this is graft surface (a
+    100 TB curation pipeline's quality gate)."""
+    bg = _persist(docs.select("doc_id", F.explode(_gram_strings(2)).alias("g")))
+    lm = bg.groupBy("g").agg(F.count("*").alias("freq"))
+    return (
+        bg.join(lm, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("freq").alias("s"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.expr("(s * 10000) div n_bigrams") / 10000.0).alias("mean_bigram_freq"),
+        )
+    )
+
+
 def remove_stopwords(docs: DataFrame) -> DataFrame:
     """(doc_id, clean_text, n_removed) — boilerplate/stopword strip, the
     text-cleaning transform of a training-data pipeline, as pure column

@@ -564,3 +564,19 @@ def test_trainprep_randomized_bruteforce(spark):
             n = len(texts[i].split(" "))
             assert got[i] == (before // 7, before % 7), (width, i)
             before += n
+
+
+def test_lm_bigram_score_hand_oracle(spark):
+    """CCNet-style LM signal: mean corpus frequency of a doc's bigrams,
+    4-dp fixed point; docs with <2 tokens drop; the common-construction
+    doc outscores the all-unique one."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "z"), (4, "q r")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_bigrams, r.mean_bigram_freq) for r in C.lm_bigram_score(docs).collect()}
+    C.release_caches()
+    # corpus bigram freqs: "a b"=3, "b a"=1, "q r"=1
+    # doc1: n=3, s=3+1+3=7 -> (7*10000)//3/10000 = 2.3333
+    assert got == {1: (3, 2.3333), 2: (1, 3.0), 4: (1, 1.0)}
+    assert 3 not in got
