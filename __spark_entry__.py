@@ -40,8 +40,11 @@ _H60 = "cast(('0x' || substr(md5({x}), 1, 15)) as bigint)"
 DEDUP_MAX_SHINGLE_DF = 5
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+def _docs(spark: SparkSession, sf_dir: str, split: bool = True) -> DataFrame:
+    # split=False callers: queries whose map-side per-row work is light
+    # (one pass, no gram-explosion fan-out), where the load_table re-split
+    # exchange was measured as pure overhead (see load_table docstring)
+    return load_table(spark, sf_dir, "documents", split=split)
 
 
 # Contract queries that produce their result inside a TEMPORARY directory
@@ -269,7 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_clusters"] = lambda spark, sf: C.dedup_clusters(
         _docs(spark, sf), max_shingle_df=DEDUP_MAX_SHINGLE_DF
     )
-    q["dedup_simhash"] = lambda spark, sf: C.simhash(_docs(spark, sf))
+    q["dedup_simhash"] = lambda spark, sf: C.simhash(_docs(spark, sf, split=False))
 
     def embedding_neardup(spark, sf):
         return C.embedding_neardup_pairs(load_table(spark, sf, "embeddings"), threshold=0.5, dim=64)
@@ -352,10 +355,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- corpus ops: text analysis ----------------------------------------------
     q["repetition_metrics"] = lambda spark, sf: C.repetition_metrics(_docs(spark, sf))
     q["remove_stopwords"] = lambda spark, sf: C.remove_stopwords(_docs(spark, sf))
-    q["text_quality"] = lambda spark, sf: C.text_quality(_docs(spark, sf))
+    q["text_quality"] = lambda spark, sf: C.text_quality(_docs(spark, sf, split=False))
     q["token_counts"] = lambda spark, sf: C.token_counts(_docs(spark, sf))
     q["lang_id"] = lambda spark, sf: C.lang_id(_docs(spark, sf))
-    q["fingerprint"] = lambda spark, sf: C.fingerprint(_docs(spark, sf))
+    q["fingerprint"] = lambda spark, sf: C.fingerprint(_docs(spark, sf, split=False))
     q["lm_bigram_score"] = lambda spark, sf: C.lm_bigram_score(_docs(spark, sf))
 
     # --- corpus ops: training-set preparation (new r5) ---------------------------
@@ -375,7 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # buckets — the distributed prefix sum's cross-bucket offsets are
     # actually exercised, not degenerate
     q["pack_sequences"] = lambda spark, sf: C.pack_sequences(
-        _docs(spark, sf), budget=2048, bucket_width=64
+        _docs(spark, sf, split=False), budget=2048, bucket_width=64
     )
 
     # threshold 0.70 sits inside the sf0.01 per-source mean range
@@ -386,7 +389,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- events: windowed agg + sessionization ----------------------------------
     def windowed_agg(spark, sf):
-        ev = load_table(spark, sf, "events")
+        # split=False: the map side is a trivial projection feeding the
+        # keyed aggregation exchange — re-splitting the input would be a
+        # second, pure-overhead shuffle (guide §2.4)
+        ev = load_table(spark, sf, "events", split=False)
         return (
             ev.groupBy(
                 F.date_trunc("hour", "ts").cast("string").alias("hour"),
@@ -415,7 +421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["windowed_agg"] = windowed_agg
 
     def sessionization(spark, sf):
-        ev = load_table(spark, sf, "events")
+        # split=False: first operation is the user_id window exchange
+        ev = load_table(spark, sf, "events", split=False)
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         gaps = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
             "new_sess",

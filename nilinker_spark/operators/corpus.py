@@ -1029,7 +1029,18 @@ def importance_resample(
     whole operator is ONE narrow projection + filter over the corpus,
     no shuffle at all.
     """
-    q = text_quality(docs).select("doc_id", "quality")
+    # Quality behind a Generate (explode of a 1-element array): the
+    # bucket/rate CASE chains and the keep-filter all reference
+    # ``quality``, and without a barrier the optimizer substitutes the
+    # FULL quality expression tree into every reference — the executed
+    # filter carried it 3x (one per CASE branch) plus once more in the
+    # projection, and the stopword HOF lambda keeps it all off codegen
+    # (measured 4x the per-row cost; plan in plans/r06).  A predicate on
+    # a generated column cannot be pushed through the Generate, so the
+    # tree is evaluated exactly once per row.  Same rows out, bit-exact.
+    q = docs.select(
+        "doc_id", F.explode(F.array(_quality_cols()["quality"])).alias("quality")
+    )
     bucket = None
     rate = None
     for name, lo, bp in buckets:
