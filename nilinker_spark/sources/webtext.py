@@ -145,12 +145,15 @@ def gazetteer_from_documents(docs: DataFrame, top_n: int = 100) -> set[str]:
     Multi-token surfaces, like real KB aliases: extraction density stays
     realistic (a match at a small fraction of token positions) and the
     greedy longest-match scan does its full 4..1-gram probe work."""
+    from nilinker_spark.operators.corpus import _zip_grams
+
+    # zip-slice bigram build + doc-level >=2-token gate: same surviving
+    # bigrams as the old per-index transform with its per-gram re-split
+    # arity check, at ~1/3 the per-element cost (see corpus._zip_grams)
     toks = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
-    bg = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
     rows = (
-        docs.select(F.explode(bg).alias("surface"))
-        .filter(F.size(F.split("surface", " ")) == 2)
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(_zip_grams(toks, 2)).alias("surface"))
         .groupBy("surface")
         .count()
         .orderBy(F.desc("count"), F.asc("surface"))
