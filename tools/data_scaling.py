@@ -45,6 +45,7 @@ DEFAULT = [
     "ann_topk_ivf",
     "embedding_neardup_lsh",
     "decontaminate",
+    "lm_bigram_score",
     "importance_resample",
     "pack_sequences",
     "text_quality",
