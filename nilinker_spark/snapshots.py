@@ -185,6 +185,31 @@ def _transform_value(field: dict, v) -> str | None:
     return str(v)[:10]  # days: ISO prefix of a date/timestamp rendering
 
 
+def _parity_value(field: dict, v) -> bool:
+    """True when ``_transform_value``'s Python rendering of ``v`` is
+    provably identical to Spark's partition-path rendering of the same
+    value (ADVICE r5): integers and strings render the same everywhere;
+    dates render ISO on both sides; for the ``days`` transform a NAIVE
+    datetime is provable too (the session timezone is pinned UTC —
+    config.get_spark — so Spark's date_format agrees with the ISO date
+    prefix).  Floats ('1e-07' vs '1.0E-7'), booleans ('True' vs 'true'),
+    tz-aware or identity-partition timestamps (microsecond rendering)
+    are NOT provable: the caller conservatively scans instead — a
+    wrongly skipped file would be silent row loss the residual filter
+    cannot recover."""
+    import datetime
+
+    if isinstance(v, bool):
+        return False
+    if field["transform"] == "days":
+        if isinstance(v, datetime.datetime):
+            return v.tzinfo is None
+        return isinstance(v, datetime.date)
+    if isinstance(v, datetime.datetime):
+        return False
+    return isinstance(v, (int, str, datetime.date))
+
+
 def _file_partition_tuple(relpath: str) -> dict[str, tuple[dict, str]]:
     """{source_column: (spec_field, path_value)} parsed from a data
     file's relative path — empty for flat (unpartitioned) files."""
@@ -280,6 +305,14 @@ class SnapshotLog:
     def __init__(self, table_dir: str) -> None:
         self.table_dir = table_dir.rstrip("/")
         self.log_dir = self.table_dir + _SNAP_SUFFIX
+        # Published manifests are immutable (os.link CAS), so parsed
+        # manifests cache per instance keyed by version.  Without this,
+        # latest_version/branches/vacuum and every commit's parent read
+        # re-opened and re-parsed manifest JSON — a long-lived streaming
+        # table committing one version per batch degraded quadratically
+        # in log length (ADVICE r5).  Consumers treat manifests as
+        # read-only (audited: set()/sorted()/field reads only).
+        self._manifest_cache: dict[int, dict] = {}
 
     # --- log inspection ----------------------------------------------------
     def _version_path(self, version: int) -> str:
@@ -315,8 +348,12 @@ class SnapshotLog:
             version = self.latest_version()
             if version is None:
                 raise FileNotFoundError(f"no snapshots at {self.log_dir}")
+        cached = self._manifest_cache.get(version)
+        if cached is not None:
+            return cached
         with open(self._version_path(version)) as fh:
             manifest = json.load(fh)
+        self._manifest_cache[version] = manifest
         return manifest
 
     # --- tags (named immutable refs) ---------------------------------------
@@ -522,6 +559,15 @@ class SnapshotLog:
             files = list_data_files(self.table_dir)
         if branch is not None and not _TAG_RE.fullmatch(branch):
             raise ValueError(f"branch name must match {_TAG_RE.pattern!r}: {branch!r}")
+        # a dropped branch name stays retired (ADVICE r5): its permanent
+        # drop marker excludes the name from vacuum's live heads, so a
+        # new commit staged under it would be unpinned — vacuum could
+        # reclaim the freshly staged files out from under the writer
+        if branch is not None and branch in self._dropped_branches():
+            raise ValueError(
+                f"branch {branch!r} was dropped; dropped names stay retired "
+                "(stage under a fresh branch name instead)"
+            )
         os.makedirs(self.log_dir, exist_ok=True)
         vs = self.versions()
         # the guard compares against THIS REF's head (trunk by default);
@@ -904,8 +950,11 @@ class SnapshotLog:
             keep = True
             for col, val in predicates.items():
                 got = parts.get(col)
-                if got is None:
-                    continue  # no tuple for this column: must scan
+                if got is None or not _parity_value(got[0], val):
+                    # no tuple for this column, or the predicate value's
+                    # type has no provably-identical Python-vs-Spark
+                    # rendering: must scan (see _parity_value)
+                    continue
                 field, path_value = got
                 if path_value == _HIVE_NULL or _transform_value(field, val) != path_value:
                     keep = False
@@ -1197,19 +1246,24 @@ class SnapshotLog:
         return df
 
     # --- streaming sink (exactly-once appends) -------------------------------
-    def last_stream_batch_id(self) -> int | None:
+    def last_stream_batch_id(self, txn_id: str | None = None) -> int | None:
         """Highest ``stream_batch_id`` any committed manifest records,
         or None when no streaming batch has ever committed.  Batch ids
         are monotone in version order (single-writer sink contract), so
         the newest manifest carrying one answers in O(1) typical — a
-        long-lived stream must not re-read its whole log every batch."""
+        long-lived stream must not re-read its whole log every batch.
+
+        ``txn_id`` scopes the answer to one idempotence domain: only
+        manifests whose ``stream_txn_id`` matches count (see
+        :meth:`streaming_sink`)."""
         for v in reversed(self.versions()):
-            b = self.snapshot(v).get("stream_batch_id")
-            if b is not None:
+            m = self.snapshot(v)
+            b = m.get("stream_batch_id")
+            if b is not None and (txn_id is None or m.get("stream_txn_id") == txn_id):
                 return b
         return None
 
-    def streaming_sink(self):
+    def streaming_sink(self, txn_id: str | None = None):
         """``foreachBatch`` callable giving EXACTLY-ONCE appends into
         this log — the Delta transactional-sink pattern: Structured
         Streaming's checkpoint makes each ``batch_id``'s contents
@@ -1228,10 +1282,22 @@ class SnapshotLog:
             q = (stream.writeStream.foreachBatch(log.streaming_sink())
                  .option("checkpointLocation", ckpt)
                  .trigger(availableNow=True).start())
-        """
+
+        ``txn_id`` (ADVICE r5): the idempotence DOMAIN, the
+        ``txnAppId`` of Delta's transactional sink.  Batch ids restart
+        at 0 when a checkpoint is deleted/relocated and a new query
+        starts; keyed on batch_id alone, every real batch of the new
+        query would be silently skipped until its ids exceed the
+        table's historical max — silent data loss.  Pass a stable id
+        per logical stream (e.g. the checkpoint path): a batch is then
+        skipped only when BOTH the txn id matches a committed manifest's
+        ``stream_txn_id`` and its batch_id is not above that domain's
+        max; a new txn id starts a fresh domain.  Default None keeps
+        the single-domain behavior for the single-query caller
+        contract."""
 
         def _sink(df: DataFrame, batch_id: int) -> None:
-            last = self.last_stream_batch_id()
+            last = self.last_stream_batch_id(txn_id)
             if last is not None and batch_id <= last:
                 return  # replayed batch: already committed exactly once
             if df.isEmpty():
@@ -1246,7 +1312,10 @@ class SnapshotLog:
             else:
                 df.write.mode("append").parquet(self.table_dir)
             new = [f for f in list_data_files(self.table_dir) if f not in before]
-            self.commit_append(new, _extra={"stream_batch_id": int(batch_id)})
+            extra: dict = {"stream_batch_id": int(batch_id)}
+            if txn_id is not None:
+                extra["stream_txn_id"] = txn_id
+            self.commit_append(new, _extra=extra)
 
         return _sink
 
@@ -1305,10 +1374,20 @@ class SnapshotLog:
             F.min(on).alias("lo"),
             F.max(on).alias("hi"),
             F.count(F.lit(1)).alias("n"),
+            F.count(F.col(on)).alias("n_nonnull"),
             F.count_distinct(F.col(on)).alias("nd"),
         ).collect()[0]
         if row["n"] == 0:
             return head_v  # empty merge: nothing to commit
+        # count_distinct ignores NULLs (ADVICE r5): a null-key source row
+        # previously surfaced as a bogus 'duplicate keys' error (or a
+        # wrong count) — and left_anti never matches NULL, so null-key
+        # merge semantics are undefined.  Reject them by name.
+        if row["n"] != row["n_nonnull"]:
+            raise ValueError(
+                f"merge: key {on!r} must be non-null "
+                f"({row['n'] - row['n_nonnull']} null-key source rows)"
+            )
         if row["n"] != row["nd"]:
             raise ValueError(f"merge: source has {row['n'] - row['nd']} duplicate keys")
         # footer stats store dates/timestamps as ISO strings (_json_safe,

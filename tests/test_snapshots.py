@@ -1212,3 +1212,103 @@ def test_streaming_sink_into_partitioned_table(spark, tmp_path):
     # selection pruned to the 2026-01-01 day partition
     assert all("_p_days__warc_ts=2026-01-01" in f for f in day.inputFiles())
     assert [r.id for r in day.collect()] == [1]
+
+
+def test_prune_partition_conservative_on_unprovable_value_types(spark, tmp_path):
+    """identity(double): Spark renders 1e-07 into the partition path as
+    '1.0E-7' while Python str() gives '1e-07' — pruning on that
+    rendering skipped the matching file (silent row loss, ADVICE r5).
+    Predicate values without a provably identical rendering now
+    conservatively scan; the residual filter keeps the result exact."""
+    d = str(tmp_path / "t")
+    log = SnapshotLog(d)
+    log.set_partition_spec([{"column": "val", "transform": "identity"}])
+    df = spark.createDataFrame([(1, 1e-07), (2, 0.5)], "id long, val double")
+    log.write_partitioned(df, mode="overwrite")
+    log.commit("overwrite")
+    out = log.prune_partition(spark, {"val": 1e-07})
+    assert [r.id for r in out.collect()] == [1]
+    # booleans render 'true' (Spark) vs 'True' (Python): also conservative
+    d2 = str(tmp_path / "t2")
+    log2 = SnapshotLog(d2)
+    log2.set_partition_spec([{"column": "flag", "transform": "identity"}])
+    log2.write_partitioned(
+        spark.createDataFrame([(1, True), (2, False)], "id long, flag boolean"),
+        mode="overwrite",
+    )
+    log2.commit("overwrite")
+    assert [r.id for r in log2.prune_partition(spark, {"flag": True}).collect()] == [1]
+
+
+def test_streaming_sink_txn_domain_fresh_query_not_skipped(spark, tmp_path):
+    """Batch ids restart at 0 when a new query starts from a fresh
+    checkpoint; keyed on batch_id alone every real batch of the new
+    query was silently skipped until its ids passed the table's
+    historical max (ADVICE r5).  With a txn id per logical stream the
+    new domain commits, and replay-skipping still works per domain."""
+    tbl = str(tmp_path / "tbl")
+    log = SnapshotLog(tbl)
+    df_a = spark.createDataFrame([(1, "a")], "id long, val string")
+    sink_a = log.streaming_sink(txn_id="query-a")
+    sink_a(df_a, 0)
+    sink_a(df_a, 5)
+    assert log.last_stream_batch_id("query-a") == 5
+    v = log.latest_version()
+    sink_a(df_a, 5)  # replay within the domain: skipped
+    assert log.latest_version() == v
+    sink_b = log.streaming_sink(txn_id="query-b")
+    sink_b(spark.createDataFrame([(2, "b")], "id long, val string"), 0)
+    assert sorted(r.id for r in log.read(spark).collect()) == [1, 1, 2]
+    assert log.last_stream_batch_id("query-b") == 0
+    assert log.last_stream_batch_id("query-a") == 5
+    # legacy single-domain callers see the newest manifest's batch id
+    # (ids are monotone within the single-writer contract), as before
+    assert log.last_stream_batch_id() == 0
+
+
+def test_merge_rejects_null_keys(spark, tmp_path):
+    """count_distinct ignores NULLs: one null-key source row used to
+    surface as a bogus 'duplicate keys' error; several reported a wrong
+    count — and left_anti never matches NULL, so null-key merges have
+    no defined semantics.  Rejected by name now (ADVICE r5)."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    log.commit("overwrite")
+    src = spark.createDataFrame([(None, "x"), (2, "y")], "id long, val string")
+    with pytest.raises(ValueError, match="must be non-null"):
+        log.merge(spark, src, on="id")
+
+
+def test_commit_refuses_dropped_branch_name(spark, tmp_path):
+    """Re-staging on a previously dropped branch name would leave the new
+    head unpinned (vacuum excludes dropped names from live heads) — the
+    freshly staged files could be reclaimed out from under the writer.
+    Dropped names stay retired (ADVICE r5)."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    log.commit("overwrite")
+    log.merge(
+        spark,
+        spark.createDataFrame([(1, "X")], "id long, val string"),
+        on="id",
+        branch="dead",
+    )
+    log.drop_branch("dead")
+    with pytest.raises(ValueError, match="dropped"):
+        log.commit("append", branch="dead")
+
+
+def test_manifest_cache_serves_immutable_manifests(spark, tmp_path):
+    """Published manifests are immutable; a SnapshotLog instance parses
+    each version once (ADVICE r5: the un-cached log degraded
+    quadratically for long-lived streaming tables)."""
+    d = str(tmp_path / "t")
+    _write(spark, d, [(1, "a")])
+    log = SnapshotLog(d)
+    log.commit("overwrite")
+    m1 = log.snapshot(0)
+    assert log.snapshot(0) is m1  # cache hit: same parsed object
+    # a second instance (fresh cache) sees the same content
+    assert SnapshotLog(d).snapshot(0) == m1
