@@ -859,7 +859,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "kind",
             "n_bytes",
             "dim",
-            F.round(F.col("v").cast("double"), 4).alias("val"),
+            # sign-preserving round: Spark's ROUND (BigDecimal HALF_UP)
+            # normalizes -0.0 to 0.0, DuckDB's keeps the IEEE sign — a
+            # tiny negative component that rounds to zero at 4 dp hashed
+            # differently (3 rows at sf0.1; sf0.01 has none, which is why
+            # every earlier gate passed).  -round(-v) is bit-identical to
+            # round(v) for every nonzero result (HALF_UP is symmetric)
+            # and yields -0.0 exactly where DuckDB does.
+            F.when(
+                F.col("v") < 0, -F.round(-F.col("v").cast("double"), 4)
+            )
+            .otherwise(F.round(F.col("v").cast("double"), 4))
+            .alias("val"),
         )
 
     q["media_features"] = media_features
