@@ -99,11 +99,16 @@ def webtext_from_documents(
     else:
         base = docs.withColumn("rep", F.lit(0))
     if partitions is None:
-        # half the task slots for the python extraction stage: during
-        # mapInPandas the JVM feeder thread AND its python worker are both
-        # runnable, so cores/2 concurrent tasks saturate the cores without
-        # oversubscribing (uniform rows -> no stragglers from fewer tasks)
-        partitions = max(1, docs.sparkSession.sparkContext.defaultParallelism // 2)
+        # one task slot per core for the python extraction stage.  The
+        # r2-r5 default was cores/2 on the theory that the JVM feeder
+        # thread and its python worker are both runnable and cores/2
+        # tasks already saturate; measured this round, the feeder thread
+        # is far from a full core: at 8 cores, 8 partitions halve the
+        # extraction wall vs 4 (2.56M docs: 23.8 -> 11.9 s; 16 partitions
+        # gain nothing more), and at 2 cores, 2 partitions beat 1 by
+        # 1.8x.  Per-core throughput is then flat across levels
+        # (~25k docs/s/core at 2 and at 8 cores).
+        partitions = max(1, docs.sparkSession.sparkContext.defaultParallelism)
     if partitions > 1:
         base = base.repartition(partitions)
     text_col = F.col("text")
